@@ -1,0 +1,10 @@
+"""Test env: force CPU JAX with 8 virtual devices for multi-chip sharding tests.
+
+Must run before jax is imported anywhere (SURVEY §7.4).
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

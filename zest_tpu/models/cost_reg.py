@@ -1,0 +1,57 @@
+"""3D cost-volume regularization U-Net — Flax, channels-last.
+
+Re-design of the reference ``CostRegNet`` (``/root/reference/networks.py:1003-1059``):
+encoder 41→8→16→32→64 (three stride-2 3D convs), decoder via transposed 3D convs with
+skip *additions*, 8 output channels. InPlaceABN → BatchNorm(batch stats) + leaky_relu
+(see feature_net.py docstring for the rationale).
+
+Transposed convs use kernel 3, stride 2, 'SAME' padding — output size exactly 2x input,
+matching torch's (k=3, s=2, p=1, output_padding=1) shape arithmetic. Spatial dims must be
+divisible by 8 (three halvings), guaranteed by the /32-divisible image sizes + pad.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+
+from .feature_net import BatchNormAct
+from .init import torch_conv_kernel_init
+
+
+class ConvBnReLU3D(nn.Module):
+    """Conv3d(bias=False) + BN + leaky_relu. Mirrors networks.py:948-959."""
+    out_ch: int
+    kernel: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel
+        x = nn.Conv(self.out_ch, (k, k, k), strides=self.stride, padding=k // 2,
+                    use_bias=False, kernel_init=torch_conv_kernel_init)(x)
+        return BatchNormAct()(x)
+
+
+class _UpConvBn(nn.Module):
+    """ConvTranspose3d(k=3, s=2, bias=False) + BN+act: decoder upsampling block."""
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.ConvTranspose(self.out_ch, (3, 3, 3), strides=(2, 2, 2), padding="SAME",
+                             use_bias=False, kernel_init=torch_conv_kernel_init)(x)
+        return BatchNormAct()(x)
+
+
+class CostRegNet(nn.Module):
+    """Cost volume [B, D, h, w, C_in] → encoding volume [B, D, h, w, 8]."""
+
+    @nn.compact
+    def __call__(self, x):
+        conv0 = ConvBnReLU3D(8)(x)
+        conv2 = ConvBnReLU3D(16)(ConvBnReLU3D(16, stride=2)(conv0))
+        conv4 = ConvBnReLU3D(32)(ConvBnReLU3D(32, stride=2)(conv2))
+        x = ConvBnReLU3D(64)(ConvBnReLU3D(64, stride=2)(conv4))
+        x = conv4 + _UpConvBn(32)(x)
+        x = conv2 + _UpConvBn(16)(x)
+        x = conv0 + _UpConvBn(8)(x)
+        return x

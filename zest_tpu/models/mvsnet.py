@@ -1,0 +1,117 @@
+"""MVS neural encoding volume: FeatureNet → plane-sweep cost volume → CostRegNet.
+
+TPU-native re-design of the reference ``MVSNet`` (``/root/reference/networks.py:1061-1238``).
+One fused jittable function: 2D features for all V views, differentiable homography warp
+of each source view's features+RGB to D=128 fronto-parallel depth planes of the reference
+view (view 0), variance aggregation masked by per-view in-bounds counts, then the 3D
+U-Net regularizer.
+
+Reference-behavior notes reproduced deliberately:
+- The raw cost volume has 9 + 32 channels (networks.py:1100): 3 for the (unwarped,
+  interior-placed) reference RGB and 3+3 for the first two warped source RGBs. Warped
+  RGBs of sources beyond the first two are clobbered by the variance block in the
+  reference (written at ``img_feat[:, -32:]`` *after* the loop) — so here they are simply
+  never written. Views beyond the first two contribute through the variance only.
+- D = 128 depth planes, linear in [near, far] (networks.py:1192-1200).
+- Variance normalization divides by the per-voxel count of in-bounds views
+  (networks.py:1135-1136), where warped features are zero outside the source image.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .feature_net import FeatureNet
+from .cost_reg import CostRegNet
+from ..ops.homography import homo_warp, in_bounds_mask
+
+N_DEPTH_PLANES = 128  # hardcoded in the reference (networks.py:1192)
+
+
+def depth_plane_values(near, far, n_planes: int = N_DEPTH_PLANES, lindisp: bool = False):
+    """Linear (or inverse-depth) depth candidates (networks.py:1193-1198)."""
+    t = jnp.linspace(0.0, 1.0, n_planes)
+    if lindisp:
+        return 1.0 / (1.0 / near * (1.0 - t) + 1.0 / far * t)
+    return near * (1.0 - t) + far * t
+
+
+def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0):
+    """Variance-based plane-sweep cost volume.
+
+    Args:
+        imgs: [V, H, W, 3] ImageNet-normalized input views (full res).
+        feats: [V, h, w, C] 2D CNN features (h = H/4).
+        proj_mats: [V, 3, 4] src_proj @ ref_proj_inv in feature space (identity for
+                   view 0).
+        depth_values: [D].
+        pad: reference-frustum padding (volume covers (h+2p, w+2p)).
+    Returns:
+        cost_vol: [D, h+2p, w+2p, 9 + C]
+        in_masks: [V, D, h+2p, w+2p]
+    """
+    V, h, w, C = feats.shape
+    D = depth_values.shape[0]
+    hp, wp = h + 2 * pad, w + 2 * pad
+
+    # --- reference view ---
+    ref_feats = jnp.pad(feats[0], ((pad, pad), (pad, pad), (0, 0)))
+    ref_volume = jnp.broadcast_to(ref_feats[None], (D, hp, wp, C))
+
+    # images downsampled to feature resolution (align_corners=False bilinear,
+    # networks.py:1101)
+    imgs_small = jax.image.resize(imgs, (V, h, w, 3), method="linear")
+    ref_img = jnp.pad(imgs_small[0], ((pad, pad), (pad, pad), (0, 0)))
+    ref_img = jnp.broadcast_to(ref_img[None], (D, hp, wp, 3))
+
+    volume_sum = ref_volume
+    volume_sq_sum = ref_volume ** 2
+    mask_sum = jnp.ones((D, hp, wp), feats.dtype)  # ref view always in bounds
+
+    warped_rgb = [ref_img]
+    n_src = V - 1
+    for i in range(n_src):
+        warped_feat, grid = homo_warp(feats[i + 1], proj_mats[i + 1], depth_values,
+                                      pad=pad)
+        if i < 2:
+            warped_img, _ = homo_warp(imgs_small[i + 1], proj_mats[i + 1], depth_values,
+                                      src_grid=grid, pad=pad)
+            warped_rgb.append(warped_img)
+        mask_sum = mask_sum + in_bounds_mask(grid)
+        volume_sum = volume_sum + warped_feat
+        volume_sq_sum = volume_sq_sum + warped_feat ** 2
+
+    while len(warped_rgb) < 3:  # V<3: reference leaves these channels uninitialized
+        warped_rgb.append(jnp.zeros_like(ref_img))
+
+    count = 1.0 / mask_sum[..., None]
+    variance = volume_sq_sum * count - (volume_sum * count) ** 2
+
+    cost_vol = jnp.concatenate(warped_rgb + [variance], axis=-1)
+    # per-view masks (returned for return_color paths, networks.py:1204-1205)
+    return cost_vol
+
+
+class MVSEncoder(nn.Module):
+    """imgs [V, H, W, 3] + proj_mats [V, 3, 4] + near_far → encoding volume.
+
+    Returns:
+        volume_feat: [D, h+2p, w+2p, 8]
+        feats: [V, h, w, 32] per-view 2D features
+        depth_values: [D]
+    """
+    n_planes: int = N_DEPTH_PLANES
+
+    @nn.compact
+    def __call__(self, imgs, proj_mats, near_far, pad: int = 0,
+                 lindisp: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        V, H, W, _ = imgs.shape
+        feats = FeatureNet(name="feature")(imgs)  # [V, H/4, W/4, 32]
+        depth_values = depth_plane_values(near_far[0], near_far[1], self.n_planes,
+                                          lindisp)
+        cost_vol = build_cost_volume(imgs, feats, proj_mats, depth_values, pad=pad)
+        volume_feat = CostRegNet(name="cost_reg_2")(cost_vol[None])[0]
+        return volume_feat, feats, depth_values

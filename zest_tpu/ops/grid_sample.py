@@ -1,0 +1,145 @@
+"""Differentiable grid sampling on TPU — gather-based bilinear/trilinear interpolation.
+
+TPU-native replacement for the CUDA ``F.grid_sample`` kernels the reference leans on
+(``/root/reference/utils.py:94,455,490``). Semantics match torch with
+``align_corners=True`` and ``padding_mode`` in {"zeros", "border"}:
+
+- align_corners=True: grid value g in [-1, 1] maps to pixel x = (g + 1) / 2 * (size - 1).
+- "zeros": out-of-bounds taps contribute 0 (each of the 2^k corner taps is masked
+  individually, matching torch).
+- "border": coordinates are clamped to the valid range before interpolation.
+
+Layout: channels-last (TPU-friendly). The hot 3D path (per-ray-point encoding-volume
+lookup) also has a Pallas implementation in ``zest_tpu.kernels``; this XLA version is the
+portable reference/oracle.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _unnormalize(coord, size):
+    """align_corners=True mapping from [-1,1] to [0, size-1]."""
+    return (coord + 1.0) * 0.5 * (size - 1)
+
+
+def _gather_2d(img, iy, ix):
+    """img: [H, W, C]; iy/ix: [...] int32 (assumed in-bounds). Returns [..., C]."""
+    H, W, C = img.shape
+    flat = img.reshape(H * W, C)
+    idx = iy * W + ix
+    return jnp.take(flat, idx, axis=0)
+
+
+def grid_sample_2d(img, grid, padding_mode: str = "zeros"):
+    """Bilinear sample of a 2D image at normalized grid coords.
+
+    Args:
+        img: [H, W, C].
+        grid: [..., 2] with (x, y) in [-1, 1]; x indexes W, y indexes H
+              (torch grid_sample convention).
+        padding_mode: "zeros" | "border".
+    Returns: [..., C]
+    """
+    H, W, _ = img.shape
+    x = _unnormalize(grid[..., 0], W)
+    y = _unnormalize(grid[..., 1], H)
+
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = x0 + 1
+    y1 = y0 + 1
+    wx1 = x - x0
+    wy1 = y - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    def tap(yi, xi, wgt):
+        if padding_mode == "zeros":
+            valid = (yi >= 0) & (yi <= H - 1) & (xi >= 0) & (xi <= W - 1)
+            wgt = jnp.where(valid, wgt, 0.0)
+        yi = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        xi = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        return _gather_2d(img, yi, xi) * wgt[..., None]
+
+    return (tap(y0, x0, wy0 * wx0) + tap(y0, x1, wy0 * wx1)
+            + tap(y1, x0, wy1 * wx0) + tap(y1, x1, wy1 * wx1))
+
+
+def grid_sample_3d(vol, grid, padding_mode: str = "zeros"):
+    """Trilinear sample of a 3D volume at normalized grid coords.
+
+    Args:
+        vol: [D, H, W, C].
+        grid: [..., 3] with (x, y, z) in [-1, 1]; x indexes W, y indexes H, z indexes D
+              (torch 3D grid_sample convention — matches the NDC layout produced by
+              ``geometry.world_to_ndc`` scaled to [-1,1], utils.py:451).
+        padding_mode: "zeros" | "border".
+    Returns: [..., C]
+    """
+    D, H, W, C = vol.shape
+    x = _unnormalize(grid[..., 0], W)
+    y = _unnormalize(grid[..., 1], H)
+    z = _unnormalize(grid[..., 2], D)
+
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
+        z = jnp.clip(z, 0.0, D - 1)
+
+    x0, y0, z0 = jnp.floor(x), jnp.floor(y), jnp.floor(z)
+    wx1, wy1, wz1 = x - x0, y - y0, z - z0
+    wx0, wy0, wz0 = 1.0 - wx1, 1.0 - wy1, 1.0 - wz1
+
+    flat = vol.reshape(D * H * W, C)
+
+    def tap(zi, yi, xi, wgt):
+        if padding_mode == "zeros":
+            valid = ((zi >= 0) & (zi <= D - 1) & (yi >= 0) & (yi <= H - 1)
+                     & (xi >= 0) & (xi <= W - 1))
+            wgt = jnp.where(valid, wgt, 0.0)
+        zi = jnp.clip(zi, 0, D - 1).astype(jnp.int32)
+        yi = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        xi = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        idx = (zi * H + yi) * W + xi
+        return jnp.take(flat, idx, axis=0) * wgt[..., None]
+
+    out = (tap(z0, y0, x0, wz0 * wy0 * wx0)
+           + tap(z0, y0, x0 + 1, wz0 * wy0 * wx1)
+           + tap(z0, y0 + 1, x0, wz0 * wy1 * wx0)
+           + tap(z0, y0 + 1, x0 + 1, wz0 * wy1 * wx1)
+           + tap(z0 + 1, y0, x0, wz1 * wy0 * wx0)
+           + tap(z0 + 1, y0, x0 + 1, wz1 * wy0 * wx1)
+           + tap(z0 + 1, y0 + 1, x0, wz1 * wy1 * wx0)
+           + tap(z0 + 1, y0 + 1, x0 + 1, wz1 * wy1 * wx1))
+    return out
+
+
+def resize_bilinear_align_corners(img, out_hw):
+    """Bilinear resize with align_corners=True (torch F.interpolate semantics used by
+    FeatureNet's FPN upsample, networks.py:985-987).
+
+    Args: img [H, W, C]; out_hw (H2, W2).
+    Returns: [H2, W2, C]
+    """
+    H, W, _ = img.shape
+    H2, W2 = out_hw
+    ys = jnp.linspace(0.0, H - 1, H2)
+    xs = jnp.linspace(0.0, W - 1, W2)
+
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
