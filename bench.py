@@ -1,0 +1,72 @@
+"""Benchmark: full-ZeST training-step ray throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol: the flagship configuration at reference scale — 288x512 NSFF images,
+static (8 keyframes) + dynamic (4 neighbours) encoding volumes with pad=24,
+batch 600 rays + 512 motion extras, N_samples=128, 3 dynamic MLP passes + chain —
+i.e. one full `config_zest_nsff_cross1` training step (forward+backward+adam).
+Throughput = rays/sec sustained over timed steps after warmup.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md). Denominator is the
+documented estimate of the PyTorch reference on its own hardware (1x 2080Ti-class
+GPU): ~2 it/s at 1112 rays/step ≈ 2,200 rays/s (see BENCH_NOTES.md for derivation).
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_RAYS_PER_SEC = 2200.0  # documented estimate — BENCH_NOTES.md
+
+
+def main():
+    from zest_tpu.config import ZestConfig
+    from zest_tpu.data.synthetic import SyntheticDataset
+    from zest_tpu.system import ZestSystem, TrainState, phase_for_step
+
+    cfg = ZestConfig(train_sceneflow=True, use_mvs=True, use_mvs_dy=True, pad=24,
+                     num_keyframes=8, netdepth=8, netwidth=256, multires=10,
+                     multires_views=4, N_samples=128, batch_size=600,
+                     num_extra_samples=512, use_motion_mask=True,
+                     decay_iteration=30, with_chain_loss=True, pts_embedder=True,
+                     dir_embedder=True, use_viewdirs=True, num_epochs=6000,
+                     raw_noise_std=1.0, img_h=288, img_w=512)
+    ds = SyntheticDataset(img_h=288, img_w=512, num_frames=24, num_keyframes=8,
+                          use_mvs=True, use_mvs_dy=True)
+    batch = {k: jnp.asarray(v) for k, v in ds[3].items()}
+
+    system = ZestSystem(cfg)
+    params = system.init_params(jax.random.PRNGKey(0), batch)
+    opt = system.make_optimizer(steps_per_epoch=24)
+    state = TrainState(params, opt.init(params), jnp.asarray(0))
+    step_fn = system.make_train_step(opt)
+    phase = phase_for_step(cfg, 0)
+    rng = jax.random.PRNGKey(1)
+
+    n_rays = cfg.batch_size + cfg.num_extra_samples
+
+    # warmup (compile)
+    state, logs = step_fn(state, batch, rng, phase)
+    jax.block_until_ready(logs["train_loss"])
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        rng, k = jax.random.split(rng)
+        state, logs = step_fn(state, batch, k, phase)
+    jax.block_until_ready(logs["train_loss"])
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = n_rays * n_steps / dt
+    print(json.dumps({
+        "metric": "train_rays_per_sec_full_zest",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s/chip",
+        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,10 +1,12 @@
 """Test env: force CPU JAX with 8 virtual devices for multi-chip sharding tests.
 
-Must run before jax is imported anywhere (SURVEY §7.4).
+Must run before jax is imported anywhere (SURVEY §7.4). The environment pre-sets
+JAX_PLATFORMS=axon (one real TPU chip behind a tunnel) — tests must override it,
+not setdefault, to run hermetically on the host CPU.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

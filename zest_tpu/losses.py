@@ -79,8 +79,10 @@ def compute_depth_loss(pred_depth, gt_depth):
     s_pred = jnp.mean(jnp.abs(pred_depth - t_pred))
     t_gt = jnp.median(gt_depth)
     s_gt = jnp.mean(jnp.abs(gt_depth - t_gt))
-    pred_n = (pred_depth - t_pred) / s_pred
-    gt_n = (gt_depth - t_gt) / s_gt
+    # the reference divides unguarded; the epsilon only matters when a depth map is
+    # exactly constant (zero-weight init), where the reference would NaN-poison
+    pred_n = (pred_depth - t_pred) / (s_pred + 1e-8)
+    gt_n = (gt_depth - t_gt) / (s_gt + 1e-8)
     return jnp.mean((pred_n - gt_n) ** 2)
 
 

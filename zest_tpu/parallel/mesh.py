@@ -1,0 +1,46 @@
+"""Device mesh + ray-batch sharding over ICI.
+
+The distributed layer the reference never had (SURVEY §2.8: single GPU hardcoded,
+train.py:1323). Design: a 1-D ``data`` mesh; the ray batch axis is sharded across
+chips with ``with_sharding_constraint`` inside the jitted step and XLA GSPMD
+propagates the partitioning through embedding → MLP → compositing → losses, inserting
+the ICI collectives (psum for the global loss reductions and gradient all-reduce)
+automatically. Rays are embarrassingly parallel (no halo), so no manual collectives
+are required for parity (SURVEY §5.7).
+
+Encoding-volume construction is replicated (per-image, B==1, compute-light relative
+to the ray loop); its gradients arrive identical on every chip.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D mesh over the ``data`` axis (ray/batch parallelism)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ("data",))
+
+
+def shard_rays(x, mesh: Optional[Mesh]):
+    """Constrain the leading (ray) axis to be sharded over the data axis.
+
+    No-op without a mesh or when the ray count does not divide the mesh size.
+    """
+    if mesh is None or x.shape[0] % mesh.size != 0:
+        return x
+    spec = P("data", *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def replicate(x, mesh: Optional[Mesh]):
+    if mesh is None:
+        return x
+    return jax.device_put(x, NamedSharding(mesh, P()))

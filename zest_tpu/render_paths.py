@@ -1,0 +1,62 @@
+"""Novel-view path rendering: bullet-time wander-path orbits.
+
+Equivalent of the reference's ``test_step_wanderpath`` (train.py:1167-1237): for each
+test frame in [20, 51], substitute the target camera with each of the 60 orbit poses
+(data/nsff.py:169-207) and render the full image; save RGB + depth panels.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .checkpoint import CheckpointManager
+from .config import ZestConfig
+from .system import TrainState, ZestSystem
+from .train_loop import build_datasets, to_device
+from .utils.visualize import save_image, visualize_depth
+
+
+def run_wanderpath(cfg: ZestConfig, frame_range=(20, 51), n_poses=None,
+                   quiet=False):
+    datasets = build_datasets(cfg, splits=("test",))
+    test_ds = datasets["test"]
+    save_root = Path(cfg.save_dir) / cfg.expname
+
+    system = ZestSystem(cfg)
+    batch0 = to_device(test_ds[0])
+    params = system.init_params(jax.random.PRNGKey(0), batch0)
+    if cfg.ckpt:
+        mgr = CheckpointManager(Path(cfg.ckpt).parent)
+        optimizer = system.make_optimizer(1)
+        state = TrainState(params, optimizer.init(params), jnp.asarray(0))
+        params = TrainState(*mgr.restore(Path(cfg.ckpt).name, tuple(state))).params
+
+    eval_fn = system.make_eval_step()
+    lo, hi = frame_range
+    for idx in range(len(test_ds)):
+        if idx < lo or idx > hi:
+            continue
+        sample = test_ds[idx]
+        frame_t = int(np.asarray(sample["time"]))
+        out_dir = save_root / f"render_wanderpath_frame{frame_t}"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        poses_c2w = sample["wander_path_c2w"]
+        poses_w2c = sample["wander_path_w2c"]
+        n = len(poses_c2w) if n_poses is None else min(n_poses, len(poses_c2w))
+        for i in range(n):
+            sample["c2ws"][-1] = poses_c2w[i]
+            sample["w2cs"][-1] = poses_w2c[i]
+            maps = eval_fn(params, to_device(sample))
+            key = "rgb_map_ref" if cfg.train_sceneflow else "rgb_map"
+            dkey = "depth_map_ref" if cfg.train_sceneflow else "depth_map"
+            save_image(out_dir / f"rgb_map_blend_{i:02d}.png",
+                       np.clip(np.asarray(maps[key]), 0, 1))
+            save_image(out_dir / f"depth_map_blend_{i:02d}.png",
+                       visualize_depth(np.asarray(maps[dkey]), [2.0, 6.0]))
+        if not quiet:
+            print(json.dumps({"frame": frame_t, "poses": n,
+                              "out": str(out_dir)}))

@@ -1,0 +1,434 @@
+"""Training system: model construction, jitted train/eval steps, optimization.
+
+TPU-first re-design of the reference ``MVSNeRFSystem`` + generators
+(``/root/reference/train.py:57-1274``, ``networks.py:355-709``): instead of a
+LightningModule with chunked python loops, ONE traced train step computes
+volumes → rays → two-field render → 9-term scene-flow loss → grads → adam update.
+Full-image eval maps fixed-size ray chunks with ``lax.map`` (static shapes, single
+compile).
+
+Step-phase flags that change the *computation graph* (extra motion-mask samples on/off,
+chain_5frames on/off) are python bools derived from the host step counter — each flips
+exactly once during training (train.py:502-511), costing one retrace each.
+
+The reference's ``img_downscale`` eval randomization (train.py:860) is a no-op there —
+``build_color_volume`` receives but never reads ``downscale`` (utils.py:461-505) — so it
+is omitted here.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from . import render, sampling
+from .config import ZestConfig
+from .geometry import normalize_frame_idx
+from .losses import sceneflow_losses, total_variation_loss, get_disparity_smoothness, \
+    distortion_loss
+from .models import NeRFField, MVSEncoder
+from .models.embedding import embedding_out_channels
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class Phase(NamedTuple):
+    """Graph-shaping flags (python/static). Derived from the host step counter."""
+    extra_samples: bool = False   # motion-mask extras active (step < decay·1000)
+    chain_5frames: bool = False   # 5-frame chain loss active (step > decay·1000·2)
+
+
+def phase_for_step(cfg: ZestConfig, step: int) -> Phase:
+    """Mirrors networks.py:502-511."""
+    decay = cfg.decay_iteration_clamped
+    return Phase(
+        extra_samples=bool(cfg.use_motion_mask and step < decay * 1000),
+        chain_5frames=bool(cfg.with_chain_loss and step > decay * 1000 * 2),
+    )
+
+
+# ImageNet statistics used by every reference loader (data/nsff.py:227-229)
+IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406])
+IMAGENET_STD = jnp.array([0.229, 0.224, 0.225])
+
+
+def unpreprocess(imgs):
+    """Invert ImageNet normalization (networks.py:464-472). imgs [..., 3]."""
+    return imgs * IMAGENET_STD + IMAGENET_MEAN
+
+
+class ZestSystem:
+    """Builds the model stack for a config and exposes pure step functions."""
+
+    def __init__(self, cfg: ZestConfig):
+        self.cfg = cfg
+        in_ch = embedding_out_channels(cfg.pts_dim, cfg.multires) if cfg.pts_embedder \
+            else cfg.pts_dim
+        if cfg.train_video:
+            in_ch += int(cfg.time_code_dim)
+        in_ch_views = (embedding_out_channels(cfg.dir_dim, cfg.multires_views)
+                       if cfg.dir_embedder else cfg.dir_dim)
+
+        if cfg.train_sceneflow:
+            in_ch_dy = (embedding_out_channels(cfg.pts_dim + 1, cfg.multires)
+                        if cfg.pts_embedder else cfg.pts_dim + 1)
+            self.nerf_dynamic = NeRFField(
+                depth=cfg.netdepth, width=cfg.netwidth, in_ch_pts=in_ch_dy,
+                in_ch_views=in_ch_views, in_ch_feat=cfg.feat_dim_dy,
+                net_type=cfg.net_type, sceneflow=True, static=False,
+                use_mvs=cfg.use_mvs_dy)
+            self.nerf_static = NeRFField(
+                depth=cfg.netdepth, width=cfg.netwidth, in_ch_pts=in_ch,
+                in_ch_views=in_ch_views, in_ch_feat=cfg.feat_dim,
+                net_type=cfg.net_type, sceneflow=True, static=True,
+                use_mvs=cfg.use_mvs)
+        else:
+            self.nerf_dynamic = None
+            self.nerf_static = NeRFField(
+                depth=cfg.netdepth, width=cfg.netwidth, in_ch_pts=in_ch,
+                in_ch_views=in_ch_views, in_ch_feat=cfg.feat_dim,
+                net_type=cfg.net_type, sceneflow=False, static=True,
+                use_mvs=cfg.use_mvs)
+
+        self.enc_static = MVSEncoder() if cfg.use_mvs else None
+        self.enc_dy = MVSEncoder() if cfg.use_mvs_dy else None
+
+        # optional device mesh: rays are sharded over the 'data' axis inside the
+        # jitted step (set via set_mesh; see zest_tpu.parallel)
+        self.mesh = None
+
+        self._in_ch_pts = in_ch
+        self._in_ch_views = in_ch_views
+
+    # ------------------------------------------------------------------
+    # init
+    # ------------------------------------------------------------------
+    def init_params(self, rng, batch) -> dict:
+        cfg = self.cfg
+        keys = jax.random.split(rng, 5)
+        params = {}
+        dummy_views = jnp.zeros((1, 1, self._in_ch_views))
+        params["nerf_static"] = self.nerf_static.init(
+            keys[0], jnp.zeros((1, 1, self._in_ch_pts)),
+            jnp.zeros((1, 1, cfg.feat_dim)) if (cfg.use_mvs or cfg.net_type == "v2")
+            else None,
+            dummy_views)
+        if self.nerf_dynamic is not None:
+            in_ch_dy = (embedding_out_channels(cfg.pts_dim + 1, cfg.multires)
+                        if cfg.pts_embedder else cfg.pts_dim + 1)
+            params["nerf_dynamic"] = self.nerf_dynamic.init(
+                keys[1], jnp.zeros((1, 1, in_ch_dy)),
+                jnp.zeros((1, 1, cfg.feat_dim_dy)) if (cfg.use_mvs_dy
+                                                       or cfg.net_type == "v2") else None,
+                dummy_views)
+        if self.enc_static is not None:
+            imgs = batch["images"][:-1]
+            params["enc_static"] = self.enc_static.init(
+                keys[2], imgs, batch["proj_mats"][:-1], batch["near_fars"][0],
+                pad=cfg.pad)
+        if self.enc_dy is not None:
+            params["enc_dy"] = self.enc_dy.init(
+                keys[3], batch["nb_imgs"], batch["nb_proj_mats"],
+                batch["near_fars"][0], pad=cfg.pad)
+        if cfg.train_video:
+            # 40 learnable latent time codes (train.py:92-99)
+            params["time_codes"] = jax.random.normal(
+                keys[4], (40, int(cfg.time_code_dim))) * \
+                (0.01 / float(cfg.time_code_dim) ** 0.5)
+        return params
+
+    # ------------------------------------------------------------------
+    # optimizer (train.py:265-301): Adam betas(0.9,0.999), cosine anneal over
+    # epochs to eta_min=1e-7, grad clip 1.0 (PL gradient_clip_val=1)
+    # ------------------------------------------------------------------
+    def make_optimizer(self, steps_per_epoch: int) -> optax.GradientTransformation:
+        cfg = self.cfg
+        eps_min = 1e-7
+
+        def lr_schedule(base_lr):
+            def fn(step):
+                epoch = jnp.minimum(step // max(steps_per_epoch, 1), cfg.num_epochs)
+                return eps_min + (base_lr - eps_min) * 0.5 * (
+                    1.0 + jnp.cos(jnp.pi * epoch / cfg.num_epochs))
+            return fn
+
+        if cfg.train_video:
+            # time codes get 10x lr (train.py:271-272)
+            def label_fn(params):
+                return {k: ("time" if k == "time_codes" else "main") for k in params}
+            tx = optax.multi_transform(
+                {"main": optax.adam(lr_schedule(cfg.lrate), b1=0.9, b2=0.999),
+                 "time": optax.adam(lr_schedule(cfg.lrate * 10), b1=0.9, b2=0.999)},
+                label_fn)
+        else:
+            tx = optax.adam(lr_schedule(cfg.lrate), b1=0.9, b2=0.999)
+        return optax.chain(optax.clip_by_global_norm(1.0), tx)
+
+    # ------------------------------------------------------------------
+    # forward: volumes + rays + render (DyMVSNeRF_G.forward / MVSNeRF_G.forward)
+    # ------------------------------------------------------------------
+    def _encode_volumes(self, params, batch):
+        cfg = self.cfg
+        static_vol = dyn_vol = None
+        if self.enc_static is not None:
+            static_vol, _, _ = self.enc_static.apply(
+                params["enc_static"], batch["images"][:-1], batch["proj_mats"][:-1],
+                batch["near_fars"][0], pad=cfg.pad)
+        if self.enc_dy is not None:
+            dyn_vol, _, _ = self.enc_dy.apply(
+                params["enc_dy"], batch["nb_imgs"], batch["nb_proj_mats"],
+                batch["near_fars"][0], pad=cfg.pad)
+        return static_vol, dyn_vol
+
+    def _render_models(self, params, batch, static_vol, dyn_vol,
+                       imgs_un, nb_imgs_un) -> render.RenderModels:
+        cfg = self.cfg
+
+        def static_fn(p, f, v):
+            return self.nerf_static.apply(params["nerf_static"], p, f, v)
+
+        dynamic_fn = None
+        if self.nerf_dynamic is not None:
+            def dynamic_fn(p, f, v):
+                return self.nerf_dynamic.apply(params["nerf_dynamic"], p, f, v)
+
+        static_feats = None
+        if static_vol is not None:
+            src_imgs = imgs_un[:-1]
+
+            def static_feats(pts_world, ndc):
+                vol = render.sample_volume_features(static_vol, ndc)
+                # poses sliced to the source views (reference indexes only the
+                # first V entries of the full pose dict, utils.py:482-484)
+                col = render.build_color_features(pts_world, src_imgs,
+                                                  batch["w2cs"][:-1],
+                                                  batch["intrinsics"][:-1])
+                return jnp.concatenate([vol, col], -1)
+
+        dynamic_feats = None
+        if dyn_vol is not None:
+            def dynamic_feats(pts_world, ndc):
+                vol = render.sample_volume_features(dyn_vol, ndc)
+                col = render.build_color_features(pts_world, nb_imgs_un,
+                                                  batch["nb_w2cs"], batch["nb_intr"])
+                return jnp.concatenate([vol, col], -1)
+
+        return render.RenderModels(static_fn=static_fn, dynamic_fn=dynamic_fn,
+                                   static_feats=static_feats,
+                                   dynamic_feats=dynamic_feats,
+                                   multires=cfg.multires,
+                                   multires_views=cfg.multires_views)
+
+    def forward_train(self, params, batch, rng, phase: Phase, step):
+        """One training forward: sample rays, build volumes, render.
+
+        Returns (results dict, rays, aux) — mirrors DyMVSNeRF_G.forward
+        (networks.py:474-593) incl. the alternating chain_bwd and decay gates.
+        """
+        cfg = self.cfg
+        V, H, W, _ = batch["images"].shape
+        k_pix, k_extra, k_depth, k_render = jax.random.split(rng, 4)
+
+        static_vol, dyn_vol = self._encode_volumes(params, batch)
+        imgs_un = unpreprocess(batch["images"])
+        nb_imgs_un = unpreprocess(batch["nb_imgs"]) if "nb_imgs" in batch else None
+
+        # pixel sampling (random + optional motion-mask extras + optional patches)
+        if cfg.gan_type == "graf":
+            xs, ys = sampling.sample_pixels_graf(k_pix, H, W, cfg.patch_size, step,
+                                                 cfg.scale_anneal)
+        elif cfg.patch_size > 0:
+            n_patches = cfg.batch_size // (cfg.patch_size ** 2)
+            xs, ys = sampling.sample_pixels_patches(k_pix, H, W, n_patches,
+                                                    cfg.patch_size)
+        else:
+            xs, ys = sampling.sample_pixels_random(k_pix, H, W, cfg.batch_size)
+        if phase.extra_samples and cfg.train_sceneflow:
+            hx, hy = sampling.sample_motion_pixels(k_extra, batch["motion_coords"],
+                                                   batch["motion_count"],
+                                                   cfg.num_extra_samples)
+            xs = jnp.concatenate([xs, hx])
+            ys = jnp.concatenate([ys, hy])
+
+        # multi-chip: shard the ray axis over ICI; GSPMD propagates through the
+        # whole render + loss graph (zest_tpu/parallel/mesh.py)
+        from .parallel.mesh import shard_rays
+        xs = shard_rays(xs, self.mesh)
+        ys = shard_rays(ys, self.mesh)
+
+        scene_flow = cfg.train_sceneflow
+        rays = sampling.build_rays(
+            k_depth, xs, ys, images=imgs_un, depths=batch["depths"],
+            w2cs=batch["w2cs"], c2ws=batch["c2ws"], intrinsics=batch["intrinsics"],
+            near_fars=batch["near_fars"], n_samples=cfg.N_samples, pad=cfg.pad,
+            stratified=True,
+            flow_fwd=batch.get("flow_fwd"), flow_bwd=batch.get("flow_bwd"),
+            mask_fwd=batch.get("mask_fwd"), mask_bwd=batch.get("mask_bwd"))
+
+        models = self._render_models(params, batch, static_vol, dyn_vol,
+                                     imgs_un, nb_imgs_un)
+
+        # alternating two-frame chain: reference flips a python bool every forward
+        # (networks.py:556); first step uses True
+        chain_bwd = (step % 2) == 0
+
+        time_codes = None
+        if cfg.train_video:
+            time_codes = params["time_codes"][batch["keyframe_id"]]
+
+        ret = render.render_rays(
+            models, rays,
+            im_w2c_ref=batch["w2cs"][0],
+            nb_w2c_ref=batch["nb_w2cs"][0] if "nb_w2cs" in batch else None,
+            scene_flow=scene_flow, chain_bwd=chain_bwd,
+            chain_5frames=phase.chain_5frames,
+            ref_frame_idx=normalize_frame_idx(batch.get("time", 0.0),
+                                              batch.get("total_frames", 1.0)),
+            num_frames=batch.get("total_frames", 1.0),
+            time_codes=time_codes, white_bkgd=cfg.white_bkgd,
+            raw_noise_std=cfg.raw_noise_std, rng=k_render, val=False)
+        return ret, rays, {"chain_bwd": chain_bwd}
+
+    # ------------------------------------------------------------------
+    # loss (training_step, train.py:587-760, non-GAN branch; GAN branch in
+    # system_gan.py)
+    # ------------------------------------------------------------------
+    def compute_losses(self, results, rays, batch, step, phase: Phase, chain_bwd):
+        cfg = self.cfg
+        logs = {}
+        rgb_pred = results["rgb_map"]
+        rgb_gt = rays.color_gt
+        depth_pred = results["depth_map"][..., None]
+
+        render_loss = 0.0
+        if not cfg.train_sceneflow:
+            render_loss = jnp.mean((rgb_pred - rgb_gt) ** 2)
+            logs["render_loss"] = render_loss
+
+        tv_depth_loss = 0.0
+        if cfg.with_depth_loss_reg:
+            patch = depth_pred.reshape(-1, cfg.patch_size, cfg.patch_size)
+            tv_depth_loss = cfg.lambda_depth_reg * total_variation_loss(patch)
+            logs["tv_depth_loss"] = tv_depth_loss
+
+        depth_smooth_loss = 0.0
+        if cfg.with_depth_smoothness:
+            dpatch = depth_pred.reshape(-1, cfg.patch_size, cfg.patch_size, 1)
+            ipatch = rgb_pred.reshape(-1, cfg.patch_size, cfg.patch_size, 3)
+            depth_smooth_loss = cfg.lambda_depth_smooth * \
+                get_disparity_smoothness(dpatch, ipatch)
+            logs["depth_smooth_loss"] = depth_smooth_loss
+
+        dist_loss = 0.0
+        if cfg.with_distortion_loss:
+            dist_loss = cfg.lambda_distortion * distortion_loss(results["weights"],
+                                                                rays.t_vals)
+            logs["distortion_loss"] = dist_loss
+
+        sf_loss = 0.0
+        if cfg.train_sceneflow:
+            V, H, W, _ = batch["images"].shape
+            focal = batch["intrinsics"][-1, 0, 0]
+            sf_loss, sf_logs = sceneflow_losses(
+                cfg, results, rays, step=step, frame_t=batch["time"],
+                total_frames=batch["total_frames"], H=H, W=W, focal=focal,
+                fnb_w2cs=batch["fnb_w2cs"], chain_bwd=chain_bwd,
+                chain_5frames=phase.chain_5frames)
+            logs.update(sf_logs)
+            logs["sceneflow_loss"] = sf_loss
+
+        # NOTE: the reference double-scales the extra regularizers here
+        # (train.py:744-748 multiplies the already-weighted terms by their lambdas
+        # again) — reproduced for parity.
+        total = (render_loss
+                 + cfg.lambda_depth_reg * tv_depth_loss
+                 + cfg.lambda_depth_smooth * depth_smooth_loss
+                 + cfg.lambda_distortion * dist_loss
+                 + sf_loss)
+        logs["train_loss"] = total
+
+        # train PSNR on the static rgb_map (train.py:753-755)
+        mse = jnp.mean((rgb_pred - rgb_gt) ** 2)
+        logs["train_PSNR"] = -10.0 * jnp.log10(mse)
+        return total, logs
+
+    # ------------------------------------------------------------------
+    # jitted steps
+    # ------------------------------------------------------------------
+    def make_train_step(self, optimizer):
+        """Returns train_step(state, batch, rng, phase) — jit-compiled per phase."""
+
+        @functools.partial(jax.jit, static_argnames=("phase",))
+        def train_step(state: TrainState, batch, rng, phase: Phase):
+            def loss_fn(params):
+                ret, rays, aux = self.forward_train(params, batch, rng, phase,
+                                                    state.step)
+                total, logs = self.compute_losses(ret, rays, batch, state.step,
+                                                  phase, aux["chain_bwd"])
+                return total, logs
+
+            (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params)
+            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(new_params, new_opt, state.step + 1)
+            return new_state, logs
+
+        return train_step
+
+    # ------------------------------------------------------------------
+    # full-image eval (forward_val, networks.py:595-709)
+    # ------------------------------------------------------------------
+    def make_eval_step(self):
+        cfg = self.cfg
+
+        @jax.jit
+        def eval_step(params, batch):
+            V, H, W, _ = batch["images"].shape
+            static_vol, dyn_vol = self._encode_volumes(params, batch)
+            imgs_un = unpreprocess(batch["images"])
+            nb_imgs_un = unpreprocess(batch["nb_imgs"]) if "nb_imgs" in batch else None
+            models = self._render_models(params, batch, static_vol, dyn_vol,
+                                         imgs_un, nb_imgs_un)
+
+            chunk = cfg.chunk
+            n_chunks = -(-(H * W) // chunk)
+            ref_idx = normalize_frame_idx(batch.get("time", 0.0),
+                                          batch.get("total_frames", 1.0))
+
+            def render_chunk(idx):
+                xs, ys = sampling.sample_pixels_grid(H, W, chunk, idx)
+                rays = sampling.build_rays(
+                    jax.random.PRNGKey(0), xs, ys, images=imgs_un,
+                    depths=batch["depths"], w2cs=batch["w2cs"], c2ws=batch["c2ws"],
+                    intrinsics=batch["intrinsics"], near_fars=batch["near_fars"],
+                    n_samples=cfg.N_samples, pad=cfg.pad, stratified=False)
+                ret = render.render_rays(
+                    models, rays, im_w2c_ref=batch["w2cs"][0],
+                    nb_w2c_ref=batch["nb_w2cs"][0] if "nb_w2cs" in batch else None,
+                    scene_flow=cfg.train_sceneflow, chain_bwd=False,
+                    chain_5frames=False, ref_frame_idx=ref_idx,
+                    num_frames=batch.get("total_frames", 1.0),
+                    white_bkgd=cfg.white_bkgd, raw_noise_std=0.0, rng=None, val=True)
+                keys = ["rgb_map", "depth_map"]
+                if cfg.train_sceneflow:
+                    keys += ["rgb_map_ref", "depth_map_ref", "rgb_map_ref_dy",
+                             "depth_map_ref_dy", "weights_map_dd"]
+                return {k: ret[k] for k in keys}
+
+            out = jax.lax.map(render_chunk, jnp.arange(n_chunks))
+            # [n_chunks, chunk, ...] → [H*W, ...] → [H, W, ...]
+            maps = {}
+            for k, v in out.items():
+                flat = v.reshape((n_chunks * chunk,) + v.shape[2:])[:H * W]
+                maps[k] = flat.reshape((H, W) + v.shape[2:])
+            return maps
+
+        return eval_step

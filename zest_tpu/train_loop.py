@@ -1,0 +1,248 @@
+"""Training / evaluation loops — the harness around the jitted steps.
+
+Replaces the reference's PyTorch-Lightning Trainer usage (train.py:1276-1349):
+epoch loop, periodic validation every ``check_val_every_n_epoch =
+min(N_vis, ceil(num_epochs / N_vis))`` epochs, top-5-by-val-loss + last
+checkpointing, auto-resume from ``last``, CSV metric logging, visual dumps.
+"""
+from __future__ import annotations
+
+import csv
+import json
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import metrics
+from .checkpoint import CheckpointManager
+from .config import ZestConfig
+from .data import dataset_dict
+from .system import Phase, TrainState, ZestSystem, phase_for_step, unpreprocess
+from .utils.visualize import save_image, visualize_depth
+
+
+def build_datasets(cfg: ZestConfig, splits=("train", "val")):
+    """Instantiate datasets with the reference's per-dataset kwargs
+    (prepare_data, train.py:194-263)."""
+    ds_fn = dataset_dict[cfg.dataset_name]
+    out = {}
+    for split in splits:
+        kwargs = {}
+        if cfg.finetune_scene is not None:
+            kwargs["scene"] = cfg.finetune_scene
+        if cfg.dataset_name == "dtu":
+            kwargs["max_len"] = -1 if split != "val" else 10
+        if cfg.dataset_name == "llff":
+            kwargs["depth_path"] = cfg.depth_path if split == "train" else None
+        if cfg.dataset_name in ("nsff", "synthetic"):
+            kwargs.update(num_keyframes=cfg.num_keyframes, use_mvs=cfg.use_mvs,
+                          use_mvs_dy=cfg.use_mvs_dy, img_h=cfg.img_h,
+                          img_w=cfg.img_w, crossval=cfg.crossval,
+                          frame_jump=cfg.frame_jump)
+        down = cfg.imgScale_train if split == "train" else cfg.imgScale_test
+        out[split] = ds_fn(cfg.datadir, config_dir=cfg.configdir, split=split,
+                           downSample=down,
+                           closest_views=cfg.use_closest_views, **kwargs)
+    return out
+
+
+def to_device(sample):
+    return {k: jnp.asarray(v) for k, v in sample.items()}
+
+
+class MetricLogger:
+    """CSV + stdout logging (observability replacement for W&B scalars)."""
+
+    def __init__(self, save_dir: Path):
+        save_dir.mkdir(parents=True, exist_ok=True)
+        self.path = save_dir / "metrics.csv"
+        self._keys = None
+        self._fh = None
+
+    def log(self, step: int, scalars: dict):
+        scalars = {k: float(v) for k, v in scalars.items()}
+        if self._fh is None:
+            exists = self.path.exists()
+            self._fh = open(self.path, "a", newline="")
+            self._writer = None
+        if self._keys is None:
+            self._keys = ["step"] + sorted(scalars)
+            self._writer = csv.DictWriter(self._fh, fieldnames=self._keys,
+                                          extrasaction="ignore")
+            if self.path.stat().st_size == 0:
+                self._writer.writeheader()
+        row = {"step": step, **scalars}
+        self._writer.writerow(row)
+        self._fh.flush()
+
+    def close(self):
+        if self._fh:
+            self._fh.close()
+
+
+def validate(cfg, system, eval_fn, params, val_ds, save_dir: Path, step: int,
+             max_images: Optional[int] = None, tag="val"):
+    """Full-image validation: PSNR/SSIM (+ LPIPS when weights available), PNG dumps.
+
+    Mirrors validation_step_sceneflow / _svs (train.py:762-950).
+    """
+    img_dir = save_dir / f"{tag}_images"
+    img_dir.mkdir(parents=True, exist_ok=True)
+    n = len(val_ds) if max_images is None else min(len(val_ds), max_images)
+    psnrs, ssims, losses = [], [], []
+    lpips_fn = _maybe_lpips(cfg)
+    lpips_vals = []
+    for i in range(n):
+        batch = to_device(val_ds[i])
+        maps = eval_fn(params, batch)
+        tgt = unpreprocess(batch["images"][-1])
+        key = "rgb_map_ref" if cfg.train_sceneflow else "rgb_map"
+        pred = jnp.clip(maps[key], 0.0, 1.0)
+        losses.append(float(jnp.mean((pred - tgt) ** 2)))
+        psnrs.append(float(metrics.psnr(pred, tgt)))
+        ssims.append(float(metrics.ssim(pred, tgt, 5)))
+        if lpips_fn is not None:
+            lpips_vals.append(float(lpips_fn(pred, tgt)))
+        if i < 4:  # visual dumps for the first few images
+            save_image(img_dir / f"{step:08d}_{i:02d}_rgb.png", np.asarray(pred))
+            dkey = "depth_map_ref" if cfg.train_sceneflow else "depth_map"
+            save_image(img_dir / f"{step:08d}_{i:02d}_depth.png",
+                       visualize_depth(np.asarray(maps[dkey])))
+            save_image(img_dir / f"{step:08d}_{i:02d}_err.png",
+                       np.abs(np.asarray(pred - tgt)) * 5)
+    out = {"val_loss": float(np.mean(losses)), "val_PSNR": float(np.mean(psnrs)),
+           "val_SSIM": float(np.mean(ssims))}
+    if lpips_vals:
+        out["val_LPIPS"] = float(np.mean(lpips_vals))
+    return out
+
+
+def _maybe_lpips(cfg):
+    if not cfg.lpips_weights:
+        return None
+    try:
+        from .models.lpips import load_lpips
+        return load_lpips(cfg.lpips_weights)
+    except Exception:
+        return None
+
+
+def run_training(cfg: ZestConfig, max_steps: Optional[int] = None,
+                 datasets=None, quiet=False):
+    """Full training run. Returns the final TrainState."""
+    if cfg.seed_everything >= 0:
+        seed = cfg.seed_everything
+    else:
+        seed = 0
+    rng = jax.random.PRNGKey(seed)
+
+    datasets = datasets or build_datasets(cfg)
+    train_ds, val_ds = datasets["train"], datasets.get("val")
+    steps_per_epoch = cfg.steps_per_epoch or len(train_ds)
+
+    save_dir = Path(cfg.save_dir) / cfg.expname
+    ckpt = CheckpointManager(save_dir / "ckpts", cfg)
+    logger = MetricLogger(save_dir)
+
+    system = ZestSystem(cfg)
+    batch0 = to_device(train_ds[0])
+    rng, k_init = jax.random.split(rng)
+    params = system.init_params(k_init, batch0)
+    optimizer = system.make_optimizer(steps_per_epoch)
+    state = TrainState(params, optimizer.init(params), jnp.asarray(0))
+
+    # auto-resume (train.py:1317-1321)
+    if cfg.ckpt:
+        state = TrainState(*ckpt_restore_external(cfg.ckpt, state))
+    elif ckpt.has_last():
+        state = TrainState(*ckpt.restore("last", tuple(state)))
+        if not quiet:
+            print(f"resumed from {ckpt.dir/'last'} at step {int(state.step)}")
+
+    step_fn = system.make_train_step(optimizer)
+    eval_fn = system.make_eval_step()
+
+    total_steps = max_steps if max_steps is not None else \
+        (cfg.max_train_steps if cfg.max_train_steps > 0
+         else cfg.num_epochs * steps_per_epoch)
+    check_val_every = max(min(cfg.N_vis, -(-cfg.num_epochs // cfg.N_vis)), 1)
+
+    host_step = int(state.step)
+    perm_rng = np.random.default_rng(seed)
+    t_last = time.perf_counter()
+    while host_step < total_steps:
+        epoch = host_step // steps_per_epoch
+        order = perm_rng.permutation(len(train_ds))
+        for i in order:
+            if host_step >= total_steps:
+                break
+            batch = to_device(train_ds[int(i)])
+            phase = phase_for_step(cfg, host_step)
+            rng, k = jax.random.split(rng)
+            state, logs = step_fn(state, batch, k, phase)
+            host_step += 1
+            if host_step % cfg.log_every == 0:
+                dt = time.perf_counter() - t_last
+                t_last = time.perf_counter()
+                sps = cfg.log_every / dt
+                logger.log(host_step, {**logs, "steps_per_sec": sps})
+                if not quiet:
+                    print(f"step {host_step} loss={float(logs['train_loss']):.4f} "
+                          f"PSNR={float(logs['train_PSNR']):.2f} ({sps:.2f} it/s)")
+
+        # end of epoch: maybe validate + checkpoint
+        if val_ds is not None and (epoch + 1) % check_val_every == 0:
+            val_logs = validate(cfg, system, eval_fn, state.params, val_ds,
+                                save_dir, host_step, max_images=4)
+            logger.log(host_step, val_logs)
+            if not quiet:
+                print(f"epoch {epoch}: " + " ".join(f"{k}={v:.4f}"
+                                                    for k, v in val_logs.items()))
+            ckpt.save_topk(tuple(state), val_logs["val_loss"], host_step)
+        ckpt.save_last(tuple(state))
+
+    ckpt.save_last(tuple(state))
+    logger.close()
+    return state, system
+
+
+def ckpt_restore_external(path, state_like):
+    """Restore an explicit checkpoint path (--ckpt flag semantics)."""
+    mgr = CheckpointManager(Path(path).parent)
+    return mgr.restore(Path(path).name, tuple(state_like))
+
+
+def run_test(cfg: ZestConfig, datasets=None, quiet=False):
+    """Evaluation entry: full-image metrics over the test split →
+    test_metrics.txt (test_epoch_end, train.py:1239-1256)."""
+    datasets = datasets or build_datasets(cfg, splits=("test",))
+    test_ds = datasets["test"]
+    save_dir = Path(cfg.save_dir) / cfg.expname
+    save_dir.mkdir(parents=True, exist_ok=True)
+
+    system = ZestSystem(cfg)
+    batch0 = to_device(test_ds[0])
+    params = system.init_params(jax.random.PRNGKey(0), batch0)
+    if cfg.ckpt:
+        ckpt_dir = Path(cfg.ckpt).parent
+        mgr = CheckpointManager(ckpt_dir)
+        optimizer = system.make_optimizer(1)
+        state = TrainState(params, optimizer.init(params), jnp.asarray(0))
+        state = TrainState(*mgr.restore(Path(cfg.ckpt).name, tuple(state)))
+        params = state.params
+
+    eval_fn = system.make_eval_step()
+    out = validate(cfg, system, eval_fn, params, test_ds, save_dir, 0, tag="test")
+    metrics_file = save_dir / "test_metrics.txt"
+    with open(metrics_file, "w") as f:
+        f.write(f"PSNR: {out['val_PSNR']}\n")
+        f.write(f"SSIM: {out['val_SSIM']}\n")
+        if "val_LPIPS" in out:
+            f.write(f"LPIPS: {out['val_LPIPS']}\n")
+    if not quiet:
+        print(json.dumps(out))
+    return out
