@@ -12,6 +12,7 @@ divisible by 8 (three halvings), guaranteed by the /32-divisible image sizes + p
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 
 from .feature_net import BatchNormAct
 from .init import torch_conv_kernel_init
@@ -27,8 +28,9 @@ class ConvBnReLU3D(nn.Module):
     def __call__(self, x):
         k = self.kernel
         x = nn.Conv(self.out_ch, (k, k, k), strides=self.stride, padding=k // 2,
-                    use_bias=False, kernel_init=torch_conv_kernel_init)(x)
-        return BatchNormAct()(x)
+                    use_bias=False, kernel_init=torch_conv_kernel_init,
+                    name="conv")(x)
+        return BatchNormAct(name="bn")(x)
 
 
 class _UpConvBn(nn.Module):
@@ -37,21 +39,35 @@ class _UpConvBn(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.ConvTranspose(self.out_ch, (3, 3, 3), strides=(2, 2, 2), padding="SAME",
-                             use_bias=False, kernel_init=torch_conv_kernel_init)(x)
-        return BatchNormAct()(x)
+        # exact torch ConvTranspose3d(k=3, s=2, p=1, output_padding=1) semantics:
+        # lhs-dilated conv with padding (k-1-p, k-1-p+op) = (1, 2); the kernel is
+        # stored pre-flipped in [kd, kh, kw, in, out] layout so torch weights
+        # convert by flip(spatial) + transpose(2,3,4,0,1)
+        in_ch = x.shape[-1]
+        kernel = self.param("deconv_kernel", torch_conv_kernel_init,
+                            (3, 3, 3, in_ch, self.out_ch))
+        x = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1, 1, 1), padding=[(1, 2)] * 3,
+            lhs_dilation=(2, 2, 2),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return BatchNormAct(name="bn")(x)
 
 
 class CostRegNet(nn.Module):
-    """Cost volume [B, D, h, w, C_in] → encoding volume [B, D, h, w, 8]."""
+    """Cost volume [B, D, h, w, C_in] → encoding volume [B, D, h, w, 8].
+
+    Submodule names follow the reference state-dict layout (networks.py:1010-1034)."""
 
     @nn.compact
     def __call__(self, x):
-        conv0 = ConvBnReLU3D(8)(x)
-        conv2 = ConvBnReLU3D(16)(ConvBnReLU3D(16, stride=2)(conv0))
-        conv4 = ConvBnReLU3D(32)(ConvBnReLU3D(32, stride=2)(conv2))
-        x = ConvBnReLU3D(64)(ConvBnReLU3D(64, stride=2)(conv4))
-        x = conv4 + _UpConvBn(32)(x)
-        x = conv2 + _UpConvBn(16)(x)
-        x = conv0 + _UpConvBn(8)(x)
+        conv0 = ConvBnReLU3D(8, name="conv0")(x)
+        conv2 = ConvBnReLU3D(16, name="conv2")(
+            ConvBnReLU3D(16, stride=2, name="conv1")(conv0))
+        conv4 = ConvBnReLU3D(32, name="conv4")(
+            ConvBnReLU3D(32, stride=2, name="conv3")(conv2))
+        x = ConvBnReLU3D(64, name="conv6")(
+            ConvBnReLU3D(64, stride=2, name="conv5")(conv4))
+        x = conv4 + _UpConvBn(32, name="conv7")(x)
+        x = conv2 + _UpConvBn(16, name="conv9")(x)
+        x = conv0 + _UpConvBn(8, name="conv11")(x)
         return x

@@ -50,29 +50,31 @@ class ConvBnReLU(nn.Module):
     def __call__(self, x):
         x = nn.Conv(self.out_ch, (self.kernel, self.kernel), strides=self.stride,
                     padding=self.kernel // 2, use_bias=False,
-                    kernel_init=torch_conv_kernel_init)(x)
-        return BatchNormAct()(x)
+                    kernel_init=torch_conv_kernel_init, name="conv")(x)
+        return BatchNormAct(name="bn")(x)
 
 
 class FeatureNet(nn.Module):
     """3-level FPN: 3→8 (H,W) →16 (H/2) →32 (H/4) + 1x1 toplayer.
 
     Mirrors networks.py:961-1001. Input [B, H, W, 3]; output [B, H/4, W/4, 32].
+    Submodule names follow the reference state-dict layout (conv0_0 = conv0[0]
+    etc.) so checkpoint conversion is a pure key/layout transform.
 
-    Note: the reference's ``_upsample_add`` lateral connections exist in the class but
-    its forward never calls them (networks.py:989-1001 is a straight downsampling
-    chain); we reproduce the executed topology.
+    Note: the reference's ``_upsample_add`` lateral connections exist in the class
+    but its forward never calls them (networks.py:989-1001 is a straight
+    downsampling chain); we reproduce the executed topology.
     """
 
     @nn.compact
     def __call__(self, x):
-        x = ConvBnReLU(8, 3, 1)(x)
-        x = ConvBnReLU(8, 3, 1)(x)
-        x = ConvBnReLU(16, 5, 2)(x)
-        x = ConvBnReLU(16, 3, 1)(x)
-        x = ConvBnReLU(16, 3, 1)(x)
-        x = ConvBnReLU(32, 5, 2)(x)
-        x = ConvBnReLU(32, 3, 1)(x)
-        x = ConvBnReLU(32, 3, 1)(x)
+        x = ConvBnReLU(8, 3, 1, name="conv0_0")(x)
+        x = ConvBnReLU(8, 3, 1, name="conv0_1")(x)
+        x = ConvBnReLU(16, 5, 2, name="conv1_0")(x)
+        x = ConvBnReLU(16, 3, 1, name="conv1_1")(x)
+        x = ConvBnReLU(16, 3, 1, name="conv1_2")(x)
+        x = ConvBnReLU(32, 5, 2, name="conv2_0")(x)
+        x = ConvBnReLU(32, 3, 1, name="conv2_1")(x)
+        x = ConvBnReLU(32, 3, 1, name="conv2_2")(x)
         x = nn.Conv(32, (1, 1), kernel_init=torch_conv_kernel_init, name="toplayer")(x)
         return x

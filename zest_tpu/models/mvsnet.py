@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from .feature_net import FeatureNet
 from .cost_reg import CostRegNet
-from ..ops.homography import homo_warp, in_bounds_mask
+from ..ops.homography import homo_warp, identity_warp, in_bounds_mask
 
 N_DEPTH_PLANES = 128  # hardcoded in the reference (networks.py:1192)
 
@@ -39,7 +39,8 @@ def depth_plane_values(near, far, n_planes: int = N_DEPTH_PLANES, lindisp: bool 
     return near * (1.0 - t) + far * t
 
 
-def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0):
+def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
+                      identity_src_warp: bool = False):
     """Variance-based plane-sweep cost volume.
 
     Args:
@@ -73,14 +74,24 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0):
 
     warped_rgb = [ref_img]
     n_src = V - 1
+    D_planes = depth_values.shape[0]
     for i in range(n_src):
-        warped_feat, grid = homo_warp(feats[i + 1], proj_mats[i + 1], depth_values,
-                                      pad=pad)
-        if i < 2:
-            warped_img, _ = homo_warp(imgs_small[i + 1], proj_mats[i + 1], depth_values,
-                                      src_grid=grid, pad=pad)
-            warped_rgb.append(warped_img)
-        mask_sum = mask_sum + in_bounds_mask(grid)
+        if identity_src_warp:
+            # gather-free fast path (see ops.homography.identity_warp): exact for
+            # the dynamic volume whose neighbour proj_mats are identity
+            warped_feat, mask = identity_warp(feats[i + 1], D_planes, pad=pad)
+            if i < 2:
+                warped_img, _ = identity_warp(imgs_small[i + 1], D_planes, pad=pad)
+                warped_rgb.append(warped_img)
+        else:
+            warped_feat, grid = homo_warp(feats[i + 1], proj_mats[i + 1],
+                                          depth_values, pad=pad)
+            if i < 2:
+                warped_img, _ = homo_warp(imgs_small[i + 1], proj_mats[i + 1],
+                                          depth_values, src_grid=grid, pad=pad)
+                warped_rgb.append(warped_img)
+            mask = in_bounds_mask(grid)
+        mask_sum = mask_sum + mask
         volume_sum = volume_sum + warped_feat
         volume_sq_sum = volume_sq_sum + warped_feat ** 2
 
@@ -104,6 +115,7 @@ class MVSEncoder(nn.Module):
         depth_values: [D]
     """
     n_planes: int = N_DEPTH_PLANES
+    identity_src_warp: bool = False  # dynamic volume: neighbour proj_mats are I
 
     @nn.compact
     def __call__(self, imgs, proj_mats, near_far, pad: int = 0,
@@ -112,6 +124,7 @@ class MVSEncoder(nn.Module):
         feats = FeatureNet(name="feature")(imgs)  # [V, H/4, W/4, 32]
         depth_values = depth_plane_values(near_far[0], near_far[1], self.n_planes,
                                           lindisp)
-        cost_vol = build_cost_volume(imgs, feats, proj_mats, depth_values, pad=pad)
+        cost_vol = build_cost_volume(imgs, feats, proj_mats, depth_values, pad=pad,
+                                     identity_src_warp=self.identity_src_warp)
         volume_feat = CostRegNet(name="cost_reg_2")(cost_vol[None])[0]
         return volume_feat, feats, depth_values

@@ -77,6 +77,31 @@ def homo_warp(src_feat, proj_mat, depth_values, src_grid=None, pad: int = 0):
     return warped, src_grid
 
 
+def identity_warp(src_feat, n_planes: int, pad: int = 0):
+    """Fast path for identity projection matrices: the warp grid equals the ref
+    pixel grid, so 'warping' is exactly pad + broadcast over depth — no gather.
+
+    This is the case for the reference's dynamic encoding volume: the temporal
+    neighbour proj_mats are constructed as P @ P⁻¹ == I (data/nsff.py:294-297),
+    so ALL its source warps are identity. Semantically exact: bilinear sampling at
+    integer pixel coords returns the pixel value; the strict in-bounds mask
+    excludes the 1-pixel image border exactly as the gather path does.
+
+    Returns (warped [D, H+2p, W+2p, C], mask [D, H+2p, W+2p]).
+    """
+    H, W, C = src_feat.shape
+    padded = jnp.pad(src_feat, ((pad, pad), (pad, pad), (0, 0)))
+    Hp, Wp = H + 2 * pad, W + 2 * pad
+    warped = jnp.broadcast_to(padded[None], (n_planes, Hp, Wp, C))
+    ys = jnp.arange(Hp) - pad
+    xs = jnp.arange(Wp) - pad
+    # strict interior: integer coord x maps to grid −1 at 0 and +1 at W−1
+    my = ((ys > 0) & (ys < H - 1)).astype(src_feat.dtype)
+    mx = ((xs > 0) & (xs < W - 1)).astype(src_feat.dtype)
+    mask = jnp.broadcast_to((my[:, None] * mx[None, :])[None], (n_planes, Hp, Wp))
+    return warped, mask
+
+
 def in_bounds_mask(grid):
     """Strict in-bounds mask of a normalized grid: both coords in (-1, 1).
 

@@ -98,7 +98,9 @@ class ZestSystem:
                 use_mvs=cfg.use_mvs)
 
         self.enc_static = MVSEncoder() if cfg.use_mvs else None
-        self.enc_dy = MVSEncoder() if cfg.use_mvs_dy else None
+        # the dynamic volume's neighbour proj_mats are identity (loader quirk kept
+        # from data/nsff.py:294-297) → gather-free warp fast path
+        self.enc_dy = MVSEncoder(identity_src_warp=True) if cfg.use_mvs_dy else None
 
         # optional device mesh: rays are sharded over the 'data' axis inside the
         # jitted step (set via set_mesh; see zest_tpu.parallel)
