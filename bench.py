@@ -32,7 +32,9 @@ def main():
                      num_extra_samples=512, use_motion_mask=True,
                      decay_iteration=30, with_chain_loss=True, pts_embedder=True,
                      dir_embedder=True, use_viewdirs=True, num_epochs=6000,
-                     raw_noise_std=1.0, img_h=288, img_w=512)
+                     raw_noise_std=1.0, img_h=288, img_w=512,
+                     precision=16)  # bf16 encoder compute — the TPU analogue of
+                                    # the reference's supported fp16 mode (opt.py:69)
     ds = SyntheticDataset(img_h=288, img_w=512, num_frames=24, num_keyframes=8,
                           use_mvs=True, use_mvs_dy=True)
     batch = {k: jnp.asarray(v) for k, v in ds[3].items()}

@@ -123,6 +123,8 @@ class ZestConfig:
     # --- new (TPU framework only; no reference counterpart) ---
     mesh_shape: Optional[str] = None  # e.g. "data:8"; None = all devices on data axis
     bf16: bool = False  # compute-dtype policy for the encoder CNNs
+    use_pallas_warp: bool = True  # MXU banded-matmul plane-sweep kernel
+    warp_band: int = 16  # static source-row band; must cover required_band()
     lpips_weights: Optional[str] = None  # path to LPIPS AlexNet weights (npz)
     log_every: int = 50
     steps_per_epoch: int = 0  # 0 = derive from dataset length

@@ -88,7 +88,14 @@ def convert_mvsnet(sd: Dict[str, np.ndarray], prefix: str) -> dict:
     reg = {}
     for name in ("conv0", "conv1", "conv2", "conv3", "conv4", "conv5", "conv6"):
         tp = f"{prefix}.cost_reg_2.{name}"
-        reg[name] = {"conv": {"kernel": _conv3d(sd[tp + ".conv.weight"])},
+        k = _conv3d(sd[tp + ".conv.weight"])
+        if name == "conv0":
+            # the cost volume is zero-padded 41 → 48 channels for TPU tiling;
+            # pad the kernel's input channels to match (inert zeros)
+            pad_c = (-k.shape[3]) % 8
+            if pad_c:
+                k = np.pad(k, ((0, 0),) * 3 + ((0, pad_c), (0, 0)))
+        reg[name] = {"conv": {"kernel": k},
                      "bn": _abn(sd, tp + ".bn")}
     for name in ("conv7", "conv9", "conv11"):
         tp = f"{prefix}.cost_reg_2.{name}"

@@ -1,23 +1,32 @@
-"""Pallas TPU kernel: plane-sweep homography warp (the MVS cost-volume hot op).
+"""Pallas TPU kernel: plane-sweep homography warp as banded one-hot MATMULs.
 
-The XLA gather formulation of ``ops.homography.homo_warp`` runs at ~35 ms per source
-view on a v5e chip (~30 GB/s effective — XLA lowers the 2.7M-point bilinear gather to
-a slow generic gather). This kernel reaches the hardware's ``tpu.dynamic_gather``
-through Pallas ``take_along_axis`` lowering:
+The XLA gather/scatter formulation of ``ops.homography.homo_warp`` dominates the
+training step (~37 ms gather fwd + ~75 ms scatter bwd per source view on a v5e).
+TPU hardware has no fast general gather/scatter — but the warp has *band
+structure*: for one output row-chunk, all bilinear taps fall inside a narrow band
+of source rows (the homography maps an output row to a line in the source image).
+That turns both directions into small dense matmuls on the MXU:
 
-- The source feature map is laid out channel-major ``[C, h·w]`` and kept in VMEM
-  (~1.2 MB at 72x128x32 f32) across all grid steps.
-- Tap indices/weights for the 4 bilinear taps are precomputed in XLA (cheap fused
-  elementwise) as ``[G, 4, L]`` blocks where ``L == h·w`` — the Mosaic lowering
-  constraint is indices.shape == data.shape, so each program gathers a full-width
-  ``[C, L]`` block per tap and the output pixels are tiled over ``G`` programs.
-- Out-of-bounds taps carry weight 0 (zeros padding semantics); indices are clamped.
+    out_chunk[C, 128px] = src_rows[C, B·w] @ W[B·w, 128px]          (forward)
+    d_src_rows[C, B·w] += g_chunk[C, 128px] @ W.T                   (backward)
 
-Gradients: only the source features are differentiated (projection matrices and
-depth planes are data). The backward pass is the XLA scatter-add adjoint via
-``jax.vjp`` of the reference XLA implementation (Mosaic has no scatter lowering).
+where ``src_rows = src[:, rb : rb+B, :]`` is the band (channel-major layout — the
+slice reshapes to a matrix with no transpose) and ``W`` is the banded bilinear
+interpolation matrix, built *inside the kernel* from per-pixel tap data with iota
+compares (never materialized in HBM). Zeros-padding out-of-bounds semantics are
+folded into the weights; the backward is the exact adjoint (the warp is linear in
+the source features).
 
-Equivalent semantics to /root/reference/utils.py:49-99 (see ops/homography.py).
+Band size ``B`` is a static kernel parameter. Correctness requires every chunk's
+source rows to fit in [rb, rb+B) with rb = clamp(min r0, 0, h−B); the maximum
+per-chunk span is a property of the camera poses + depth range and is computed
+host-side (``required_band``) — pick B ≥ that bound (cfg.warp_band). Spans for
+forward-facing video rigs are 2-4 rows.
+
+Constraint: feature width w == 128 (lane width) — true for the flagship 288x512
+NSFF config (W/4 = 128). Other widths fall back to the XLA path.
+
+Semantics identical to /root/reference/utils.py:49-99.
 """
 from __future__ import annotations
 
@@ -30,30 +39,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.homography import homography_grid, homo_warp as homo_warp_xla
 
+LANES = 128
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _gather_kernel(src_ref, idx_ref, wgt_ref, out_ref):
-    """src [C, L]; idx/wgt [1, 4, L] (leading grid-block dim); out [1, C, L]."""
-    C, L = src_ref.shape
-    src = src_ref[:]
-    acc = jnp.zeros((C, L), src.dtype)
-    for t in range(4):
-        ib = jnp.broadcast_to(idx_ref[0, t][None], (C, L))
-        g = jnp.take_along_axis(src, ib, axis=1, mode="promise_in_bounds")
-        acc = acc + g * wgt_ref[0, t][None]
-    out_ref[0] = acc
+# ---------------------------------------------------------------------------
+# tap precomputation (XLA, fused elementwise)
+# ---------------------------------------------------------------------------
 
+def _precompute_taps(grid, h: int, w: int, band: int):
+    """Per-chunk tap data from a normalized sampling grid.
 
-def _tap_indices(grid, h: int, w: int, L: int):
-    """Bilinear tap flat indices + weights from a normalized sampling grid.
-
-    Args:
-        grid: [D, Hp, Wp, 2] normalized (x, y) in [-1, 1] (align_corners=True).
     Returns:
-        idx: [D*n_chunks, 4, L] int32 (clamped); wgt: same shape f32.
+        rb   [D, NC] int32           band start row per 128-px chunk
+        ints [D, NC, 3, LANES] int32 (c0, r0, r1) clamped
+        flts [D, NC, 4, LANES] f32   (wx0, wx1, wy0, wy1) OOB-zeroed
     """
     D, Hp, Wp, _ = grid.shape
     x = (grid[..., 0] + 1.0) * 0.5 * (w - 1)
@@ -63,100 +66,236 @@ def _tap_indices(grid, h: int, w: int, L: int):
     fx = x - x0
     fy = y - y0
 
-    taps = []
-    for dy, dx, wgt in ((0, 0, (1 - fy) * (1 - fx)), (0, 1, (1 - fy) * fx),
-                        (1, 0, fy * (1 - fx)), (1, 1, fy * fx)):
-        yi = y0 + dy
-        xi = x0 + dx
-        valid = (yi >= 0) & (yi <= h - 1) & (xi >= 0) & (xi <= w - 1)
-        wv = jnp.where(valid, wgt, 0.0)
-        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        taps.append((yc * w + xc, wv))
+    wx0 = jnp.where((x0 >= 0) & (x0 <= w - 1), 1.0 - fx, 0.0)
+    wx1 = jnp.where((x0 + 1 >= 0) & (x0 + 1 <= w - 1), fx, 0.0)
+    wy0 = jnp.where((y0 >= 0) & (y0 <= h - 1), 1.0 - fy, 0.0)
+    wy1 = jnp.where((y0 + 1 >= 0) & (y0 + 1 <= h - 1), fy, 0.0)
 
-    P = Hp * Wp
-    n_chunks = -(-P // L)
-    pad_to = n_chunks * L
+    c0 = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+    c1 = jnp.clip(x0 + 1, 0, w - 1).astype(jnp.int32)
+    r0 = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
+    r1 = jnp.clip(y0 + 1, 0, h - 1).astype(jnp.int32)
 
-    def chunked(a, fill):
-        a = a.reshape(D, P)
-        a = jnp.pad(a, ((0, 0), (0, pad_to - P)), constant_values=fill)
-        return a.reshape(D * n_chunks, L)
+    nc = -(-(Hp * Wp) // LANES)
+    pad = nc * LANES - Hp * Wp
 
-    idx = jnp.stack([chunked(i, 0) for i, _ in taps], axis=1)
-    wgt = jnp.stack([chunked(v, 0.0) for _, v in taps], axis=1)
-    return idx, wgt, n_chunks
+    def chunk(a, fill=0.0):
+        a = a.reshape(D, Hp * Wp)
+        a = jnp.pad(a, ((0, 0), (0, pad)), constant_values=fill)
+        return a.reshape(D, nc, LANES)
+
+    c0c, c1c, r0c, r1c = chunk(c0, 0), chunk(c1, 0), chunk(r0, 0), chunk(r1, 0)
+    wy0c, wy1c = chunk(wy0), chunk(wy1)
+    # band start from taps with nonzero vertical weight only — zero-weight
+    # (out-of-bounds) taps have clamped row indices that would drag the band
+    # away from the chunk's real taps
+    low = jnp.minimum(jnp.where(wy0c > 0, r0c, h), jnp.where(wy1c > 0, r1c, h))
+    rb = jnp.clip(jnp.min(low, axis=-1), 0, max(h - band, 0)).astype(jnp.int32)
+    rb_b = jnp.broadcast_to(rb[..., None], r0c.shape)
+    ints = jnp.stack([c0c, c1c, r0c, r1c, rb_b], axis=2).astype(jnp.int32)
+    flts = jnp.stack([chunk(wx0), chunk(wx1), wy0c, wy1c], axis=2)
+    return ints, flts, nc
 
 
-def _pallas_warp(src_feat, grid):
-    """Forward warp via the Pallas gather kernel.
+def required_band(grid, h: int, w: int):
+    """Minimal safe ``band``: max per-chunk span of rows with nonzero vertical
+    weight. Traced — use from host-side preflight checks on concrete pose/depth
+    data (e.g. NSFFDataset computes this over all pose pairs at init)."""
+    D, Hp, Wp, _ = grid.shape
+    y = (grid[..., 1] + 1.0) * 0.5 * (h - 1)
+    y0 = jnp.floor(y)
+    v0 = (y0 >= 0) & (y0 <= h - 1)
+    v1 = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
+    r0 = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
+    r1 = jnp.clip(y0 + 1, 0, h - 1).astype(jnp.int32)
+    lo = jnp.minimum(jnp.where(v0, r0, h), jnp.where(v1, r1, h))
+    hi = jnp.maximum(jnp.where(v0, r0, -1), jnp.where(v1, r1, -1))
 
-    Args: src_feat [h, w, C]; grid [D, Hp, Wp, 2].
-    Returns: warped [D, Hp, Wp, C].
+    nc = -(-(Hp * Wp) // LANES)
+    pad = nc * LANES - Hp * Wp
+
+    def chunk(a, fill):
+        a = a.reshape(D, Hp * Wp)
+        a = jnp.pad(a, ((0, 0), (0, pad)), constant_values=fill)
+        return a.reshape(D, nc, LANES)
+
+    span = jnp.max(jnp.max(chunk(hi, -1), -1) - jnp.min(chunk(lo, h), -1))
+    return jnp.maximum(span + 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _make_W(ints, flts, rb, band: int, h: int, w: int, C_dummy=None):
+    """Banded interpolation matrix W [band*w, LANES] for one chunk.
+
+    W[(b, c), px] = wy_b(px) * (wx0(px)·1[c=c0(px)] + wx1(px)·1[c=c1(px)])
+    with wy_b(px) = wy0 if rb+b == r0(px) else wy1 if rb+b == r1(px) else 0.
+    """
+    c0 = ints[0][None]            # [1, LANES]
+    c1 = ints[1][None]
+    r0 = ints[2][None]
+    r1 = ints[3][None]
+    wx0 = flts[0][None]
+    wx1 = flts[1][None]
+    wy0 = flts[2][None]
+    wy1 = flts[3][None]
+
+    bw = band * w
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bw, LANES), 0)
+    b_idx = rows // w + rb        # absolute source row of this W row
+    c_idx = rows % w
+
+    horiz = (jnp.where(c_idx == c0, wx0, 0.0)
+             + jnp.where(c_idx == c1, wx1, 0.0))
+    vert = (jnp.where(b_idx == r0, wy0, 0.0)
+            + jnp.where(b_idx == r1, wy1, 0.0))
+    return horiz * vert
+
+
+def _fwd_kernel(src_ref, ints_ref, flts_ref, out_ref, *, band, h, w):
+    """One depth plane: out[1, NC, C, 128] = band-matmul warp.
+
+    src: [C, h, w] channel-major (band slice reshapes without transpose).
+    """
+    C = src_ref.shape[0]
+    NC = ints_ref.shape[1]
+
+    def body(k, _):
+        rb = ints_ref[0, k, 4, 0]
+        band_rows = src_ref[:, pl.ds(rb, band), :]          # [C, B, w]
+        mat = band_rows.reshape(C, band * w)
+        W = _make_W(ints_ref[0, k], flts_ref[0, k], rb, band, h, w)
+        out_ref[0, k] = jnp.dot(mat, W, preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+        return 0
+
+    jax.lax.fori_loop(0, NC, body, 0)
+
+
+def _bwd_kernel(g_ref, ints_ref, flts_ref, dsrc_ref, *, band, h, w):
+    """Adjoint: accumulate d_src[C, h, w] over all planes/chunks.
+
+    Grid iterates planes; the single output block accumulates (same block index
+    for every step; zero-initialized at step 0).
+    """
+    C = g_ref.shape[2]
+    NC = ints_ref.shape[1]
+    d = pl.program_id(0)
+
+    @pl.when(d == 0)
+    def _():
+        dsrc_ref[...] = jnp.zeros_like(dsrc_ref)
+
+    def body(k, _):
+        rb = ints_ref[0, k, 4, 0]
+        W = _make_W(ints_ref[0, k], flts_ref[0, k], rb, band, h, w)
+        g = g_ref[0, k]                                      # [C, LANES]
+        contrib = jnp.dot(g, W.T, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        cur = dsrc_ref[:, pl.ds(rb, band), :]
+        dsrc_ref[:, pl.ds(rb, band), :] = cur + contrib.reshape(C, band, w)
+        return 0
+
+    jax.lax.fori_loop(0, NC, body, 0)
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+# ---------------------------------------------------------------------------
+
+def _pallas_warp_fwd(src_cm, ints, flts, band: int):
+    """src_cm [C, h, w]; returns out [D, NC, C, LANES]."""
+    C, h, w = src_cm.shape
+    D, NC = ints.shape[:2]
+    kern = functools.partial(_fwd_kernel, band=band, h=h, w=w)
+    return pl.pallas_call(
+        kern,
+        grid=(D,),
+        in_specs=[
+            pl.BlockSpec((C, h, w), lambda d: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NC, 5, LANES), lambda d: (d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NC, 4, LANES), lambda d: (d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, NC, C, LANES), lambda d: (d, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((D, NC, C, LANES), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(src_cm, ints, flts)
+
+
+def _pallas_warp_bwd(g, ints, flts, band: int, h: int, w: int):
+    """g [D, NC, C, LANES]; returns d_src [C, h, w]."""
+    D, NC, C, _ = g.shape
+    kern = functools.partial(_bwd_kernel, band=band, h=h, w=w)
+    return pl.pallas_call(
+        kern,
+        grid=(D,),
+        in_specs=[
+            pl.BlockSpec((1, NC, C, LANES), lambda d: (d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NC, 5, LANES), lambda d: (d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NC, 4, LANES), lambda d: (d, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, h, w), lambda d: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, h, w), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(g, ints, flts)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _warp_core(src_cm, taps, shape, band):
+    ints, flts = taps
+    return _pallas_warp_fwd(src_cm, ints, flts, band)
+
+
+def _warp_core_fwd(src_cm, taps, shape, band):
+    return _warp_core(src_cm, taps, shape, band), taps
+
+
+def _warp_core_bwd(shape, band, taps, g):
+    ints, flts = taps
+    h, w = shape
+    d_src = _pallas_warp_bwd(g, ints, flts, band, h, w)
+    return d_src, None
+
+
+_warp_core.defvjp(_warp_core_fwd, _warp_core_bwd)
+
+
+def supports_pallas_warp(src_feat) -> bool:
+    return src_feat.shape[1] == LANES
+
+
+def homo_warp_fast(src_feat, proj_mat, depth_values, pad: int = 0,
+                   band: int = 16):
+    """Accelerated ``homo_warp`` with identical semantics (MXU banded matmuls).
+
+    Args:
+        src_feat: [h, w, C] with w == 128 (falls back to XLA otherwise).
+        band: static band size; must be ≥ ``required_band`` for these poses
+              (validate host-side; see module docstring).
+    Returns (warped [D, Hp, Wp, C], grid) like ``ops.homography.homo_warp``.
     """
     h, w, C = src_feat.shape
+    if w != LANES:
+        return homo_warp_xla(src_feat, proj_mat, depth_values, pad=pad)
+    band = min(band, h)
+    grid = homography_grid(proj_mat, depth_values, (h, w), pad=pad)
     D, Hp, Wp, _ = grid.shape
-    HW = h * w
-    L = _round_up(HW, 128)
+
+    ints, flts, nc = _precompute_taps(grid, h, w, band)
+    src_cm = jnp.moveaxis(src_feat.astype(jnp.float32), -1, 0)   # [C, h, w]
     Cp = _round_up(C, 8)
+    src_cm = jnp.pad(src_cm, ((0, Cp - C), (0, 0), (0, 0)))
 
-    src_cm = jnp.moveaxis(src_feat, -1, 0).reshape(C, HW)
-    src_cm = jnp.pad(src_cm, ((0, Cp - C), (0, L - HW)))
-
-    idx, wgt, n_chunks = _tap_indices(grid, h, w, L)
-    G = D * n_chunks
-
-    out = pl.pallas_call(
-        _gather_kernel,
-        grid=(G,),
-        in_specs=[
-            pl.BlockSpec((Cp, L), lambda g: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, L), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, L), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, Cp, L), lambda g: (g, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, Cp, L), src_feat.dtype),
-        interpret=jax.default_backend() != "tpu",
-    )(src_cm, idx, wgt)
-
-    P = Hp * Wp
-    out = out.reshape(D, n_chunks, Cp, L)[:, :, :C]          # [D, n, C, L]
-    out = jnp.moveaxis(out, 2, 3).reshape(D, n_chunks * L, C)[:, :P]
-    return out.reshape(D, Hp, Wp, C)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _warp_diff(src_feat, proj_mat, depth_values, pad):
-    grid = homography_grid(proj_mat, depth_values,
-                           (src_feat.shape[0], src_feat.shape[1]), pad=pad)
-    return _pallas_warp(src_feat, grid)
-
-
-def _warp_fwd(src_feat, proj_mat, depth_values, pad):
-    out = _warp_diff(src_feat, proj_mat, depth_values, pad)
-    return out, (src_feat, proj_mat, depth_values)
-
-
-def _warp_bwd(pad, res, g):
-    src_feat, proj_mat, depth_values = res
-    # adjoint of the bilinear gather = scatter-add; Mosaic has no scatter, so the
-    # backward uses the XLA implementation's VJP (grads flow only to src_feat)
-    _, vjp = jax.vjp(lambda f: homo_warp_xla(f, proj_mat, depth_values,
-                                             pad=pad)[0], src_feat)
-    (d_src,) = vjp(g)
-    return d_src, None, None
-
-
-_warp_diff.defvjp(_warp_fwd, _warp_bwd)
-
-
-def homo_warp_fast(src_feat, proj_mat, depth_values, pad: int = 0):
-    """Drop-in accelerated ``homo_warp`` (same semantics, Pallas forward).
-
-    Returns (warped [D, Hp, Wp, C], grid [D, Hp, Wp, 2]) like the XLA version.
-    """
-    grid = homography_grid(proj_mat, depth_values,
-                           (src_feat.shape[0], src_feat.shape[1]), pad=pad)
-    warped = _warp_diff(src_feat, proj_mat, depth_values, pad)
-    return warped, grid
+    out = _warp_core(src_cm, (ints, flts), (h, w), band)         # [D,NC,Cp,128]
+    out = jnp.moveaxis(out, 2, 3).reshape(D, nc * LANES, Cp)[:, :Hp * Wp, :C]
+    return out.reshape(D, Hp, Wp, C).astype(src_feat.dtype), grid

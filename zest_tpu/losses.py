@@ -41,17 +41,27 @@ def total_variation_loss(image):
 
 
 def distortion_loss(ray_weights, t_vals):
-    """Mip-NeRF-360 interval distortion (losses.py:53-87), exact O(S²) pairwise form.
+    """Mip-NeRF-360 interval distortion (losses.py:53-87).
+
+    Exact O(S) reformulation of the reference's O(S²) pairwise sum (the t_mids
+    are sorted, so Σ_{i,j} w_i w_j |m_i − m_j| telescopes into prefix sums):
+        Σ_{i,j} w_i w_j |m_i − m_j| = 2 Σ_i w_i (m_i A_{i-1} − B_{i-1})
+    with A_i = Σ_{k≤i} w_k, B_i = Σ_{k≤i} w_k m_k. Verified against the naive
+    double loop in tests/test_losses.py.
 
     Args: ray_weights [R, S]; t_vals [S] (normalized sample positions).
     """
-    w = ray_weights
+    w = ray_weights[..., :-1]
     t_mids = 0.5 * (t_vals[..., :-1] + t_vals[..., 1:])
-    pair_dt = jnp.abs(t_mids[:, None] - t_mids[None, :])          # [S-1, S-1]
-    wp = w[..., :-1]
-    weighted = 0.5 * jnp.sum(wp[..., :, None] * wp[..., None, :] * pair_dt, axis=(-1, -2))
+    A = jnp.cumsum(w, axis=-1)
+    B = jnp.cumsum(w * t_mids, axis=-1)
+    A_prev = A - w
+    B_prev = B - w * t_mids
+    pairwise = 2.0 * jnp.sum(w * (t_mids * A_prev - B_prev), axis=-1)
+    weighted = 0.5 * pairwise
     t_dists = t_vals[..., 1:] - t_vals[..., :-1]
-    individual = (1.0 / 3.0) * jnp.sum((w * w)[..., :-1] * t_dists, axis=-1)
+    individual = (1.0 / 3.0) * jnp.sum(ray_weights[..., :-1] ** 2 * t_dists,
+                                       axis=-1)
     return jnp.sum(weighted + individual)
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
 from .feature_net import BatchNormAct
 from .init import torch_conv_kernel_init
@@ -23,19 +24,21 @@ class ConvBnReLU3D(nn.Module):
     out_ch: int
     kernel: int = 3
     stride: int = 1
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         k = self.kernel
         x = nn.Conv(self.out_ch, (k, k, k), strides=self.stride, padding=k // 2,
-                    use_bias=False, kernel_init=torch_conv_kernel_init,
-                    name="conv")(x)
+                    use_bias=False, dtype=self.dtype,
+                    kernel_init=torch_conv_kernel_init, name="conv")(x)
         return BatchNormAct(name="bn")(x)
 
 
 class _UpConvBn(nn.Module):
     """ConvTranspose3d(k=3, s=2, bias=False) + BN+act: decoder upsampling block."""
     out_ch: int
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -45,9 +48,10 @@ class _UpConvBn(nn.Module):
         # convert by flip(spatial) + transpose(2,3,4,0,1)
         in_ch = x.shape[-1]
         kernel = self.param("deconv_kernel", torch_conv_kernel_init,
-                            (3, 3, 3, in_ch, self.out_ch))
+                            (3, 3, 3, in_ch, self.out_ch)).astype(self.dtype)
         x = jax.lax.conv_general_dilated(
-            x, kernel, window_strides=(1, 1, 1), padding=[(1, 2)] * 3,
+            x.astype(self.dtype), kernel, window_strides=(1, 1, 1),
+            padding=[(1, 2)] * 3,
             lhs_dilation=(2, 2, 2),
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
         return BatchNormAct(name="bn")(x)
@@ -58,16 +62,20 @@ class CostRegNet(nn.Module):
 
     Submodule names follow the reference state-dict layout (networks.py:1010-1034)."""
 
+    dtype: object = jnp.float32
+
     @nn.compact
     def __call__(self, x):
-        conv0 = ConvBnReLU3D(8, name="conv0")(x)
-        conv2 = ConvBnReLU3D(16, name="conv2")(
-            ConvBnReLU3D(16, stride=2, name="conv1")(conv0))
-        conv4 = ConvBnReLU3D(32, name="conv4")(
-            ConvBnReLU3D(32, stride=2, name="conv3")(conv2))
-        x = ConvBnReLU3D(64, name="conv6")(
-            ConvBnReLU3D(64, stride=2, name="conv5")(conv4))
-        x = conv4 + _UpConvBn(32, name="conv7")(x)
-        x = conv2 + _UpConvBn(16, name="conv9")(x)
-        x = conv0 + _UpConvBn(8, name="conv11")(x)
+        dt = self.dtype
+        x = x.astype(dt)
+        conv0 = ConvBnReLU3D(8, dtype=dt, name="conv0")(x)
+        conv2 = ConvBnReLU3D(16, dtype=dt, name="conv2")(
+            ConvBnReLU3D(16, stride=2, dtype=dt, name="conv1")(conv0))
+        conv4 = ConvBnReLU3D(32, dtype=dt, name="conv4")(
+            ConvBnReLU3D(32, stride=2, dtype=dt, name="conv3")(conv2))
+        x = ConvBnReLU3D(64, dtype=dt, name="conv6")(
+            ConvBnReLU3D(64, stride=2, dtype=dt, name="conv5")(conv4))
+        x = conv4 + _UpConvBn(32, dtype=dt, name="conv7")(x)
+        x = conv2 + _UpConvBn(16, dtype=dt, name="conv9")(x)
+        x = conv0 + _UpConvBn(8, dtype=dt, name="conv11")(x)
         return x

@@ -21,20 +21,26 @@ from .init import torch_conv_kernel_init
 
 class BatchNormAct(nn.Module):
     """BatchNorm (batch stats only) + leaky_relu, matching InPlaceABN defaults
-    (eps=1e-5, leaky slope 0.01)."""
+    (eps=1e-5, leaky slope 0.01).
+
+    Stats are computed over a 2D [N·spatial, C] view in f32 — reducing the
+    channel-minor 2D layout avoids XLA materializing transposed high-rank
+    temporaries (observed 16x-padded 1.3 GB buffers when reducing the 5-D cost
+    volume directly), and keeps bf16 inputs numerically stable.
+    """
     use_act: bool = True
     eps: float = 1e-5
     slope: float = 0.01
 
     @nn.compact
     def __call__(self, x):
-        # normalize over all axes except channels
-        axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axis=axes)
-        var = jnp.var(x, axis=axes)
+        x2d = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+        mean = jnp.mean(x2d, axis=0)
+        var = jnp.mean(x2d * x2d, axis=0) - mean * mean
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
         offset = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + offset
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        y = x * inv.astype(x.dtype) + (offset - mean * inv).astype(x.dtype)
         if self.use_act:
             y = nn.leaky_relu(y, negative_slope=self.slope)
         return y
@@ -45,11 +51,12 @@ class ConvBnReLU(nn.Module):
     out_ch: int
     kernel: int = 3
     stride: int = 1
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = nn.Conv(self.out_ch, (self.kernel, self.kernel), strides=self.stride,
-                    padding=self.kernel // 2, use_bias=False,
+                    padding=self.kernel // 2, use_bias=False, dtype=self.dtype,
                     kernel_init=torch_conv_kernel_init, name="conv")(x)
         return BatchNormAct(name="bn")(x)
 
@@ -66,15 +73,20 @@ class FeatureNet(nn.Module):
     downsampling chain); we reproduce the executed topology.
     """
 
+    dtype: object = jnp.float32
+
     @nn.compact
     def __call__(self, x):
-        x = ConvBnReLU(8, 3, 1, name="conv0_0")(x)
-        x = ConvBnReLU(8, 3, 1, name="conv0_1")(x)
-        x = ConvBnReLU(16, 5, 2, name="conv1_0")(x)
-        x = ConvBnReLU(16, 3, 1, name="conv1_1")(x)
-        x = ConvBnReLU(16, 3, 1, name="conv1_2")(x)
-        x = ConvBnReLU(32, 5, 2, name="conv2_0")(x)
-        x = ConvBnReLU(32, 3, 1, name="conv2_1")(x)
-        x = ConvBnReLU(32, 3, 1, name="conv2_2")(x)
-        x = nn.Conv(32, (1, 1), kernel_init=torch_conv_kernel_init, name="toplayer")(x)
+        dt = self.dtype
+        x = x.astype(dt)
+        x = ConvBnReLU(8, 3, 1, dtype=dt, name="conv0_0")(x)
+        x = ConvBnReLU(8, 3, 1, dtype=dt, name="conv0_1")(x)
+        x = ConvBnReLU(16, 5, 2, dtype=dt, name="conv1_0")(x)
+        x = ConvBnReLU(16, 3, 1, dtype=dt, name="conv1_1")(x)
+        x = ConvBnReLU(16, 3, 1, dtype=dt, name="conv1_2")(x)
+        x = ConvBnReLU(32, 5, 2, dtype=dt, name="conv2_0")(x)
+        x = ConvBnReLU(32, 3, 1, dtype=dt, name="conv2_1")(x)
+        x = ConvBnReLU(32, 3, 1, dtype=dt, name="conv2_2")(x)
+        x = nn.Conv(32, (1, 1), dtype=dt, kernel_init=torch_conv_kernel_init,
+                    name="toplayer")(x)
         return x

@@ -40,7 +40,8 @@ def depth_plane_values(near, far, n_planes: int = N_DEPTH_PLANES, lindisp: bool 
 
 
 def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
-                      identity_src_warp: bool = False):
+                      identity_src_warp: bool = False,
+                      use_pallas_warp: bool = False, warp_band: int = 16):
     """Variance-based plane-sweep cost volume.
 
     Args:
@@ -84,11 +85,19 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
                 warped_img, _ = identity_warp(imgs_small[i + 1], D_planes, pad=pad)
                 warped_rgb.append(warped_img)
         else:
-            warped_feat, grid = homo_warp(feats[i + 1], proj_mats[i + 1],
-                                          depth_values, pad=pad)
+            if use_pallas_warp:
+                # MXU banded-matmul kernel (kernels/plane_sweep.py); falls back
+                # to the XLA gather path when the feature width is not 128
+                from ..kernels.plane_sweep import homo_warp_fast
+                warp = lambda f, **kw: homo_warp_fast(f, proj_mats[i + 1],
+                                                      depth_values, pad=pad,
+                                                      band=warp_band)
+            else:
+                warp = lambda f, **kw: homo_warp(f, proj_mats[i + 1],
+                                                 depth_values, pad=pad, **kw)
+            warped_feat, grid = warp(feats[i + 1])
             if i < 2:
-                warped_img, _ = homo_warp(imgs_small[i + 1], proj_mats[i + 1],
-                                          depth_values, src_grid=grid, pad=pad)
+                warped_img, _ = warp(imgs_small[i + 1], src_grid=grid)
                 warped_rgb.append(warped_img)
             mask = in_bounds_mask(grid)
         mask_sum = mask_sum + mask
@@ -116,15 +125,29 @@ class MVSEncoder(nn.Module):
     """
     n_planes: int = N_DEPTH_PLANES
     identity_src_warp: bool = False  # dynamic volume: neighbour proj_mats are I
+    dtype: object = jnp.float32      # compute dtype (bf16 under --precision 16)
+    use_pallas_warp: bool = False    # MXU banded-matmul plane-sweep kernel
+    warp_band: int = 16              # static band size (see kernels/plane_sweep)
 
     @nn.compact
     def __call__(self, imgs, proj_mats, near_far, pad: int = 0,
                  lindisp: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         V, H, W, _ = imgs.shape
-        feats = FeatureNet(name="feature")(imgs)  # [V, H/4, W/4, 32]
+        feats = FeatureNet(dtype=self.dtype, name="feature")(imgs)
         depth_values = depth_plane_values(near_far[0], near_far[1], self.n_planes,
                                           lindisp)
-        cost_vol = build_cost_volume(imgs, feats, proj_mats, depth_values, pad=pad,
-                                     identity_src_warp=self.identity_src_warp)
-        volume_feat = CostRegNet(name="cost_reg_2")(cost_vol[None])[0]
-        return volume_feat, feats, depth_values
+        cost_vol = build_cost_volume(imgs.astype(self.dtype), feats, proj_mats,
+                                     depth_values, pad=pad,
+                                     identity_src_warp=self.identity_src_warp,
+                                     use_pallas_warp=self.use_pallas_warp,
+                                     warp_band=self.warp_band)
+        # pad channels (41 → 48): zero channels are mathematically inert but give
+        # the first 3D conv a sublane-aligned channel count — the unpadded 41-ch
+        # conv backward ran at ~1.3 TFLOP/s with 16x-padded layout copies
+        pad_c = (-cost_vol.shape[-1]) % 8
+        if pad_c:
+            cost_vol = jnp.pad(cost_vol, ((0, 0),) * 3 + ((0, pad_c),))
+        volume_feat = CostRegNet(dtype=self.dtype, name="cost_reg_2")(
+            cost_vol[None])[0]
+        # the encoding volume feeds f32 trilinear sampling + MLP conditioning
+        return volume_feat.astype(jnp.float32), feats, depth_values

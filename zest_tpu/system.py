@@ -97,10 +97,18 @@ class ZestSystem:
                 net_type=cfg.net_type, sceneflow=False, static=True,
                 use_mvs=cfg.use_mvs)
 
-        self.enc_static = MVSEncoder() if cfg.use_mvs else None
+        # --precision 16 → bf16 compute in the encoder CNNs (the TPU analogue of
+        # the reference's fp16 mixed precision, opt.py:69-70); params stay f32
+        enc_dtype = jnp.bfloat16 if (cfg.precision == 16 or cfg.bf16) \
+            else jnp.float32
+        self.enc_static = MVSEncoder(dtype=enc_dtype,
+                                     use_pallas_warp=cfg.use_pallas_warp,
+                                     warp_band=cfg.warp_band) \
+            if cfg.use_mvs else None
         # the dynamic volume's neighbour proj_mats are identity (loader quirk kept
         # from data/nsff.py:294-297) → gather-free warp fast path
-        self.enc_dy = MVSEncoder(identity_src_warp=True) if cfg.use_mvs_dy else None
+        self.enc_dy = MVSEncoder(identity_src_warp=True, dtype=enc_dtype) \
+            if cfg.use_mvs_dy else None
 
         # optional device mesh: rays are sharded over the 'data' axis inside the
         # jitted step (set via set_mesh; see zest_tpu.parallel)
@@ -177,17 +185,28 @@ class ZestSystem:
     # forward: volumes + rays + render (DyMVSNeRF_G.forward / MVSNeRF_G.forward)
     # ------------------------------------------------------------------
     def _encode_volumes(self, params, batch):
+        """Both encoding volumes.
+
+        Rematerialization note: storing the per-source warped volumes (~330 MB
+        each) costs only ~6 ms of HBM traffic, while recomputing the warp gathers
+        in the backward costs ~35 ms per source — so we deliberately do NOT
+        checkpoint here (measured: remat made the step ~250 ms slower).
+        """
         cfg = self.cfg
-        static_vol = dyn_vol = None
-        if self.enc_static is not None:
-            static_vol, _, _ = self.enc_static.apply(
-                params["enc_static"], batch["images"][:-1], batch["proj_mats"][:-1],
-                batch["near_fars"][0], pad=cfg.pad)
-        if self.enc_dy is not None:
-            dyn_vol, _, _ = self.enc_dy.apply(
-                params["enc_dy"], batch["nb_imgs"], batch["nb_proj_mats"],
-                batch["near_fars"][0], pad=cfg.pad)
-        return static_vol, dyn_vol
+
+        def enc(params):
+            static_vol = dyn_vol = None
+            if self.enc_static is not None:
+                static_vol, _, _ = self.enc_static.apply(
+                    params["enc_static"], batch["images"][:-1],
+                    batch["proj_mats"][:-1], batch["near_fars"][0], pad=cfg.pad)
+            if self.enc_dy is not None:
+                dyn_vol, _, _ = self.enc_dy.apply(
+                    params["enc_dy"], batch["nb_imgs"], batch["nb_proj_mats"],
+                    batch["near_fars"][0], pad=cfg.pad)
+            return static_vol, dyn_vol
+
+        return enc(params)
 
     def _render_models(self, params, batch, static_vol, dyn_vol,
                        imgs_un, nb_imgs_un) -> render.RenderModels:
