@@ -20,6 +20,11 @@ def embedding_out_channels(in_channels: int, n_freqs: int) -> int:
 def positional_encoding(x: jnp.ndarray, n_freqs: int, logscale: bool = True) -> jnp.ndarray:
     """Embed x to (x, sin(2^k x), cos(2^k x), ...).
 
+    Computed as ONE batched sin + cos over the stacked frequency axis (the
+    per-frequency python loop produced 2N separate transcendental ops that XLA
+    scheduled as distinct HBM round trips); the reshape reproduces the
+    reference's interleaved [sin(f_k x), cos(f_k x)] block layout exactly.
+
     Args:
         x: [..., C]
     Returns: [..., C * (2 * n_freqs + 1)]
@@ -30,8 +35,8 @@ def positional_encoding(x: jnp.ndarray, n_freqs: int, logscale: bool = True) -> 
         freqs = 2.0 ** np.linspace(0, n_freqs - 1, n_freqs)
     else:
         freqs = np.linspace(1, 2 ** (n_freqs - 1), n_freqs)
-    out = [x]
-    for f in freqs:
-        out.append(jnp.sin(f * x))
-        out.append(jnp.cos(f * x))
-    return jnp.concatenate(out, axis=-1)
+    C = x.shape[-1]
+    scaled = x[..., None, :] * jnp.asarray(freqs, x.dtype)[:, None]  # [..., F, C]
+    sc = jnp.stack([jnp.sin(scaled), jnp.cos(scaled)], axis=-2)      # [..., F, 2, C]
+    flat = sc.reshape(*x.shape[:-1], 2 * len(freqs) * C)
+    return jnp.concatenate([x, flat], axis=-1)

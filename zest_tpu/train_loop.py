@@ -235,6 +235,14 @@ def run_test(cfg: ZestConfig, datasets=None, quiet=False):
         state = TrainState(*mgr.restore(Path(cfg.ckpt).name, tuple(state)))
         params = state.params
 
+    if cfg.vis_cnn and system.enc_static is not None:
+        # CNN introspection dumps (--vis_cnn, networks.py:1164-1235)
+        from .utils.introspect import dump_encoder_activations
+        b0 = to_device(test_ds[0])
+        dump_encoder_activations(system.enc_static, params["enc_static"],
+                                 b0["images"][:-1], b0["proj_mats"][:-1],
+                                 b0["near_fars"][0], cfg.pad, cfg.save_test)
+
     eval_fn = system.make_eval_step()
     out = validate(cfg, system, eval_fn, params, test_ds, save_dir, 0, tag="test")
     metrics_file = save_dir / "test_metrics.txt"
