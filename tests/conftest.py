@@ -19,3 +19,7 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "float32")
+# something in the pytest bootstrap imports jax before this conftest, freezing
+# the JAX_PLATFORMS env default at 'axon' (the real TPU) — override via config,
+# which is honored until the first backend initialization
+jax.config.update("jax_platforms", "cpu")

@@ -30,8 +30,13 @@ class SyntheticDataset:
     """Iterable of NSFF-schema samples for a tiny synthetic dynamic scene."""
 
     def __init__(self, root_dir=None, config_dir=None, split="train", *,
-                 img_h=48, img_w=64, num_frames=12, num_keyframes=4,
+                 img_h=48, img_w=64, num_frames=None, num_keyframes=4,
                  use_mvs=True, use_mvs_dy=True, seed=0, max_len=-1, **_):
+        if num_frames is None:
+            # pick a frame count for which the reference keyframe-interval rule
+            # (nsff.py:78-81) yields exactly num_keyframes keyframes, so the
+            # config-derived feat_dim matches the actual source-view count
+            num_frames = 3 * (num_keyframes - 1) + 1
         self.H, self.W = img_h, img_w
         self.num_frames = num_frames
         self.num_keyframes = num_keyframes
@@ -112,6 +117,12 @@ class SyntheticDataset:
         # first temporal neighbours t±1 (data/nsff.py:263-277)
         fnb = [max(target - 1, 0), min(target + 1, nf - 1)]
         sample["fnb_w2cs"] = np.stack([np.linalg.inv(self._pose(v)) for v in fnb])
+
+        # 60-pose bullet-time orbit (data/nsff.py:169-207)
+        from .nsff import wanderpath_poses
+        wc2w = wanderpath_poses(self._pose(target), self.intrinsic[1, 1])
+        sample["wander_path_c2w"] = wc2w
+        sample["wander_path_w2c"] = np.linalg.inv(wc2w).astype(np.float32)
 
         if self.use_mvs_dy:
             nbs = [max(target - 2, 0), max(target - 1, 0),
