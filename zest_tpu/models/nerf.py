@@ -27,9 +27,11 @@ import jax.numpy as jnp
 from .init import torch_dense_kernel_init, torch_dense_bias_init
 
 
-def _dense(features: int, fan_in: int, name: str = None) -> nn.Dense:
+def _dense(features: int, fan_in: int, name: str = None,
+           dtype=jnp.float32) -> nn.Dense:
     return nn.Dense(features, kernel_init=torch_dense_kernel_init,
-                    bias_init=torch_dense_bias_init(fan_in), name=name)
+                    bias_init=torch_dense_bias_init(fan_in), name=name,
+                    dtype=dtype)
 
 
 def _trunk_layer_dims(depth: int, width: int, in_ch: int, skips: Sequence[int]):
@@ -64,6 +66,8 @@ class NeRFField(nn.Module):
     sceneflow: bool = False
     static: bool = True
     use_mvs: bool = False          # v0: condition on volume features
+    dtype: object = jnp.float32    # compute dtype (bf16 under --precision 16;
+                                   # heads stay f32 for stable σ/flow outputs)
 
     @nn.compact
     def __call__(self, pts: jnp.ndarray, feats: Optional[jnp.ndarray] = None,
@@ -76,20 +80,24 @@ class NeRFField(nn.Module):
         """
         use_bias_cond = self.use_mvs if self.net_type == "v0" else True
         multiplicative = self.net_type == "v0"
+        dt = self.dtype
 
         bias = None
         if use_bias_cond:
-            bias = _dense(self.width, self.in_ch_feat, name="pts_bias")(feats)
+            bias = _dense(self.width, self.in_ch_feat, name="pts_bias",
+                          dtype=dt)(feats.astype(dt))
 
-        h = pts
+        h = pts.astype(dt)
+        pts_in = h
         dims = _trunk_layer_dims(self.depth, self.width, self.in_ch_pts, self.skips)
         for i, (fan_in, fan_out) in enumerate(dims):
-            h = _dense(fan_out, fan_in, name=f"pts_linears_{i}")(h)
+            h = _dense(fan_out, fan_in, name=f"pts_linears_{i}", dtype=dt)(h)
             if bias is not None:
                 h = h * bias if multiplicative else h + bias
             h = nn.relu(h)
             if i in self.skips:
-                h = jnp.concatenate([pts, h], axis=-1)
+                h = jnp.concatenate([pts_in, h], axis=-1)
+        h = h.astype(jnp.float32)
 
         extras = []
         if self.sceneflow:
@@ -105,11 +113,13 @@ class NeRFField(nn.Module):
             alpha = _dense(1, self.width, name="alpha_linear")(h)
             if self.net_type == "v2":
                 alpha = nn.relu(alpha)
-            feature = _dense(self.width, self.width, name="feature_linear")(h)
-            hv = jnp.concatenate([feature, views], axis=-1)
+            feature = _dense(self.width, self.width, name="feature_linear",
+                             dtype=dt)(h.astype(dt))
+            hv = jnp.concatenate([feature, views.astype(dt)], axis=-1)
             hv = nn.relu(_dense(self.width // 2, self.width + self.in_ch_views,
-                                name="views_linears_0")(hv))
-            rgb = _dense(3, self.width // 2, name="rgb_linear")(hv)
+                                name="views_linears_0", dtype=dt)(hv))
+            rgb = _dense(3, self.width // 2, name="rgb_linear")(
+                hv.astype(jnp.float32))
             if self.net_type == "v2":
                 rgb = nn.sigmoid(rgb)
             out = jnp.concatenate([rgb, alpha], axis=-1)
