@@ -236,3 +236,27 @@ class NSFFDataset:
             sample["nb_proj_mats"] = np.stack(
                 [np.eye(4, dtype=np.float32)[:3] for _ in nbs])
         return sample
+
+    def warp_band_bound(self, feat_h=None, feat_w=None, pad=24):
+        """Host-side exact band bound for the Pallas plane-sweep kernel over
+        every (reference keyframe, source view) pair of every scene.
+
+        The reference view of a sample is always the scene's first keyframe
+        (view_ids[0]), so the relevant proj relations are P_v @ P_kf0⁻¹.
+        Use the result to set cfg.warp_band (kernels/plane_sweep.py).
+        """
+        from ..kernels.plane_sweep import warp_band_bound_host
+        w_img, h_img = self.img_wh
+        feat_h = feat_h or h_img // 4
+        feat_w = feat_w or w_img // 4
+        worst = 1
+        for sc in self.scenes:
+            kf0 = self.key_frames[sc][0]
+            ref_inv = np.linalg.inv(self.proj_mats[sc][kf0])
+            near = float(self.bounds[sc].min() * 0.8)
+            far = float(self.bounds[sc].max() * 1.2)
+            for v in range(len(self.proj_mats[sc])):
+                rel = (self.proj_mats[sc][v] @ ref_inv)[:3]
+                worst = max(worst, warp_band_bound_host(rel, near, far,
+                                                        feat_h, feat_w, pad=pad))
+        return worst

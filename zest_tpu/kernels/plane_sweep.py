@@ -299,3 +299,48 @@ def homo_warp_fast(src_feat, proj_mat, depth_values, pad: int = 0,
     out = _warp_core(src_cm, (ints, flts), (h, w), band)         # [D,NC,Cp,128]
     out = jnp.moveaxis(out, 2, 3).reshape(D, nc * LANES, Cp)[:, :Hp * Wp, :C]
     return out.reshape(D, Hp, Wp, C).astype(src_feat.dtype), grid
+
+
+def warp_band_bound_host(proj_mat, near, far, h: int, w: int, pad: int = 0,
+                         n_planes: int = 128) -> int:
+    """EXACT host-side upper bound on ``required_band`` for one source view.
+
+    For the plane-induced homography M_d = R + T e3ᵀ/d the vertical-coordinate
+    slopes are rational with numerators linear in (y, 1/d) and denominator D
+    linear in (x, y, 1/d), so their extrema over the padded pixel region x
+    depth range lie at corners — evaluated exactly, no grid sweep. Use at
+    dataset-init time to pick cfg.warp_band (one static value per dataset).
+
+    Args: proj_mat [3, 4] numpy (feature-space src @ ref⁻¹); near/far floats.
+    Returns: an int band size safe for every (depth plane, output chunk).
+    """
+    import numpy as np
+    P = np.asarray(proj_mat, np.float64)
+    R = P[:, :3]
+    T = P[:, 3]
+    Hp, Wp = h + 2 * pad, w + 2 * pad
+    xs = np.array([-pad, Wp - 1 - pad], np.float64)
+    ys = np.array([-pad, Hp - 1 - pad], np.float64)
+    ds = np.array([near, far], np.float64)
+
+    worst = 0.0
+    for d in ds:
+        m10, m11 = R[1, 0], R[1, 1]
+        m12 = R[1, 2] + T[1] / d
+        m20, m21 = R[2, 0], R[2, 1]
+        m22 = R[2, 2] + T[2] / d
+        # D at region corners (linear in x, y)
+        Dc = np.array([[m20 * x + m21 * y + m22 for x in xs] for y in ys])
+        if Dc.min() <= 0 < Dc.max() or abs(Dc).min() < 1e-9:
+            return h  # denominator crosses zero somewhere: no useful bound
+        D2min = (abs(Dc) ** 2).min()
+        # ∂sy/∂x = (A + B·y)/D², A/B exact (x cancels)
+        A = m10 * m22 - m20 * m12
+        B = m10 * m21 - m20 * m11
+        sx = max(abs(A + B * y) for y in ys) / D2min
+        # ∂sy/∂y = (C + E·x)/D²
+        C = m11 * m22 - m21 * m12
+        E = m11 * m20 - m21 * m10
+        sy = max(abs(C + E * x) for x in xs) / D2min
+        worst = max(worst, (LANES - 1) * sx + sy)
+    return min(int(np.ceil(worst)) + 3, h)

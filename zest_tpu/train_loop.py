@@ -144,6 +144,14 @@ def run_training(cfg: ZestConfig, max_steps: Optional[int] = None,
     train_ds, val_ds = datasets["train"], datasets.get("val")
     steps_per_epoch = cfg.steps_per_epoch or len(train_ds)
 
+    # Pallas warp-kernel preflight: the static band must cover every pose pair
+    # in the dataset (kernels/plane_sweep.py); bump it from the host-side bound
+    if cfg.use_pallas_warp and hasattr(train_ds, "warp_band_bound"):
+        bound = train_ds.warp_band_bound(pad=cfg.pad)
+        if bound > cfg.warp_band:
+            print(f"warp_band {cfg.warp_band} < required {bound}; bumping")
+            cfg = cfg.replace(warp_band=int(bound))
+
     save_dir = Path(cfg.save_dir) / cfg.expname
     ckpt = CheckpointManager(save_dir / "ckpts", cfg)
     logger = MetricLogger(save_dir)
