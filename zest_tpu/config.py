@@ -102,11 +102,18 @@ class ZestConfig:
 
     # --- rendering options (opt.py:158-184) ---
     N_samples: int = 128
+    # Accepted for config-file parity; the reference builds a `nerf_fine` when
+    # set (train.py:143-148) but its renderer NEVER evaluates it — the fine
+    # net's params are dead weight in reference checkpoints. We deliberately
+    # skip allocating it (the converter drops fine-net tensors on import).
     N_importance: int = 0
     scale_anneal: float = 0.0025
     use_viewdirs: bool = False
-    pts_embedder: bool = False
-    dir_embedder: bool = False
+    # CLI default True (unlike opt.py:167-170 store_true): the reference's
+    # MVSNeRFSystem constructor FORCES pts_embedder=True/dir_embedder=True for
+    # every training entry (train.py:58-64), so True is the effective behavior
+    pts_embedder: bool = True
+    dir_embedder: bool = True
     multires: int = 10
     multires_views: int = 4
     raw_noise_std: float = 0.0
@@ -125,6 +132,13 @@ class ZestConfig:
     bf16: bool = False  # compute-dtype policy for the encoder CNNs
     use_pallas_warp: bool = True  # MXU banded-matmul plane-sweep kernel
     warp_band: int = 16  # static source-row band; must cover required_band()
+    use_pallas_trilinear: bool = True  # z-banded volume-sampling kernel
+    z_band: int = 3  # depth-slice band per sample index (3 when S == n_planes)
+    render_path: str = "auto"  # wander | spiral | spheric (render_spiral.py)
+    # rays per traced eval iteration. The reference's --chunk (1024) is a CUDA
+    # memory knob; one TPU chip comfortably renders far larger batches per pass,
+    # and a small chunk serializes the lax.map. 0 = use `chunk`.
+    eval_chunk: int = 8192
     lpips_weights: Optional[str] = None  # path to LPIPS AlexNet weights (npz)
     log_every: int = 50
     steps_per_epoch: int = 0  # 0 = derive from dataset length

@@ -64,6 +64,11 @@ class LLFFDataset:
         self.max_len = max_len
         self.closest_views = closest_views
         self.rng = np.random.default_rng(seed)
+        # adversarial-depth injection (reference data/llff.py:203-204,368-372):
+        # random DTU PFM depth maps from an UNRELATED dataset feed the depth
+        # discriminator as "real" samples
+        self.depth_files = (sorted(Path(depth_path).glob("**/*.pfm"))
+                            if depth_path else [])
 
         self._build_metas(scene)
         self._build_proj_mats()
@@ -84,6 +89,7 @@ class LLFFDataset:
     def _build_proj_mats(self):
         self.proj_mats, self.intrinsics = {}, {}
         self.world2cams, self.cam2worlds, self.bounds = {}, {}, {}
+        self.scale_factor = {}
         for sc in self.scenes:
             pb = np.load(self.root_dir / sc / "poses_bounds.npy")
             if self.split in ("train", "val"):
@@ -100,6 +106,7 @@ class LLFFDataset:
             poses = poses.copy()
             poses[..., 3] /= scale
             self.bounds[sc] = bounds
+            self.scale_factor[sc] = scale
 
             w, h = self.img_wh
             pms, intrs, w2cs, c2ws = [], [], [], []
@@ -121,6 +128,28 @@ class LLFFDataset:
             self.intrinsics[sc] = np.stack(intrs)
             self.world2cams[sc] = np.stack(w2cs)
             self.cam2worlds[sc] = np.stack(c2ws)
+
+    def read_depth(self, filename):
+        """Random-DTU depth pipeline (data/llff.py:292-312): PFM → ×0.5 nearest
+        → crop [44:556, 80:720] → ×downSample → resize to img_wh. Host-side
+        numpy nearest resize replaces cv2 (not in this image); these are random
+        unrelated maps, so interpolation parity is irrelevant."""
+        from .pfm import read_pfm
+
+        def nearest(a, oh, ow):
+            yi = np.minimum((np.arange(oh) * a.shape[0] / oh).astype(np.int64),
+                            a.shape[0] - 1)
+            xi = np.minimum((np.arange(ow) * a.shape[1] / ow).astype(np.int64),
+                            a.shape[1] - 1)
+            return a[yi][:, xi]
+
+        depth = np.asarray(read_pfm(filename)[0], dtype=np.float32)
+        depth = nearest(depth, depth.shape[0] // 2, depth.shape[1] // 2)
+        depth = depth[44:556, 80:720]
+        down = self.img_wh[0] / 960.0
+        depth = nearest(depth, max(int(depth.shape[0] * down), 1),
+                        max(int(depth.shape[1] * down), 1))
+        return nearest(depth, self.img_wh[1], self.img_wh[0])
 
     def __len__(self):
         return len(self.metas) if self.max_len <= 0 else self.max_len
@@ -159,9 +188,14 @@ class LLFFDataset:
                 load_image(self.image_paths[sc][vid], self.img_wh)))
 
         W, H = self.img_wh
+        if self.depth_files:
+            fname = self.depth_files[int(self.rng.integers(len(self.depth_files)))]
+            depths = self.read_depth(fname) * self.scale_factor[sc]
+        else:
+            depths = np.zeros((H, W), np.float32)
         return {
             "images": np.stack(imgs).astype(np.float32),
-            "depths": np.zeros((H, W), np.float32),
+            "depths": depths.astype(np.float32),
             "w2cs": np.stack(w2cs).astype(np.float32),
             "c2ws": np.stack(c2ws).astype(np.float32),
             "near_fars": np.stack(near_fars),

@@ -91,6 +91,36 @@ def world_to_ndc(points, w2c_ref, intrinsic_ref, inv_scale, near, far, pad: int 
     return ndc
 
 
+def ndc_to_world(ndc, w2c_ref, intrinsic_ref, inv_scale, near, far, pad: int = 0):
+    """Exact inverse of :func:`world_to_ndc` (projection branch, lindisp=False).
+
+    Used to place encoding-volume voxel centers back in world space for the
+    ``--use_color_volume`` precompute (reference opt.py:50, renderer.py:63-69).
+
+    Args:
+        ndc: [..., 3] NDC coordinates in [0, 1]^3 (pad-corrected like world_to_ndc).
+        w2c_ref: [4, 4]; None skips the camera transform.
+        intrinsic_ref: [3, 3]; inv_scale: [2] = (W-1, H-1).
+    Returns: [..., 3] world points.
+    """
+    xy = ndc[..., :2]
+    if pad > 0:
+        wh_feat = (inv_scale + 1.0) / 4.0
+        scale = wh_feat / (wh_feat + pad * 2)
+        shift = pad / (wh_feat + pad * 2)
+        xy = (xy - shift) / scale
+    z_cam = ndc[..., 2] * (far - near) + near
+    pix = xy * inv_scale
+    homog = jnp.concatenate([pix, jnp.ones_like(z_cam)[..., None]], -1) \
+        * z_cam[..., None]
+    points = jnp.matmul(homog, jnp.linalg.inv(intrinsic_ref).T, precision=_HI)
+    if w2c_ref is not None:
+        R = w2c_ref[:3, :3]
+        T = w2c_ref[:3, 3]
+        points = jnp.matmul(points - T, R, precision=_HI)  # R^T (x_c − T)
+    return points
+
+
 def world_to_bbox_ndc(points, near_xyz, far_xyz):
     """Bounding-box normalization branch of get_ndc_coordinate (utils.py:274-277)."""
     return (points - near_xyz) / (far_xyz - near_xyz)

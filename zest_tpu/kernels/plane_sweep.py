@@ -286,6 +286,11 @@ def homo_warp_fast(src_feat, proj_mat, depth_values, pad: int = 0,
     """
     h, w, C = src_feat.shape
     if w != LANES:
+        import warnings
+        warnings.warn(
+            f"homo_warp_fast: feature width {w} != {LANES}; falling back to "
+            f"the XLA warp (slower). The Pallas kernel needs W/4 == 128 "
+            f"(e.g. 288x512 inputs).", stacklevel=2)
         return homo_warp_xla(src_feat, proj_mat, depth_values, pad=pad)
     band = min(band, h)
     grid = homography_grid(proj_mat, depth_values, (h, w), pad=pad)
@@ -342,5 +347,14 @@ def warp_band_bound_host(proj_mat, near, far, h: int, w: int, pad: int = 0,
         C = m11 * m22 - m21 * m12
         E = m11 * m20 - m21 * m10
         sy = max(abs(C + E * x) for x in xs) / D2min
-        worst = max(worst, (LANES - 1) * sx + sy)
-    return min(int(np.ceil(worst)) + 3, h)
+        # In-chunk output spread: a chunk is 128 consecutive flattened pixels of
+        # the PADDED (Hp x Wp) image. If it stays in one row, x spans
+        # min(LANES, Wp)−1; if it wraps row boundaries (always when Wp < LANES,
+        # possible whenever Wp != LANES), x spans the full row width Wp−1 and y
+        # spans ⌈(LANES−1)/Wp⌉ rows. Round-1 bug: used LANES−1 for the x-span,
+        # under-counting by 2·pad·sx when Wp = w + 2·pad > LANES.
+        wrap_rows = 1 + (LANES - 2) // Wp
+        span = max((min(LANES, Wp) - 1) * sx, (Wp - 1) * sx + wrap_rows * sy)
+        worst = max(worst, span)
+    # +2 = the second bilinear tap row (r1 = r0+1) + the floor() boundary row
+    return min(int(np.ceil(worst)) + 2, h)

@@ -113,7 +113,7 @@ class PixelDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, img):
-        x = img.reshape(1, self.patch_size, self.patch_size, self.input_nc)
+        x = img.reshape(-1, self.patch_size, self.patch_size, self.input_nc)
         x = nn.Conv(self.ndf, (1, 1), kernel_init=torch_conv_kernel_init)(x)
         x = nn.leaky_relu(x, 0.2)
         x = nn.Conv(self.ndf * 2, (1, 1), use_bias=False,

@@ -62,6 +62,11 @@ def lpips_distance(params, img0, img1):
     x1 = (img1 * 2.0 - 1.0)[None]
     taps0 = alexnet_features(params, x0)
     taps1 = alexnet_features(params, x1)
+    for t in taps0:  # static shapes — a too-small image collapses a tap to
+        if t.shape[1] == 0 or t.shape[2] == 0:  # size 0 and means go NaN
+            raise ValueError(
+                f"image {img0.shape[:2]} too small for AlexNet-LPIPS "
+                f"(a feature tap has zero spatial size; need ≥ ~32 px)")
     total = 0.0
     for i, (t0, t1) in enumerate(zip(taps0, taps1)):
         n0 = t0 * jax.lax.rsqrt(jnp.sum(t0 ** 2, -1, keepdims=True) + 1e-10)
@@ -77,6 +82,26 @@ def load_lpips(path):
     data = np.load(path)
     params = {k: jnp.asarray(data[k]) for k in data.files}
     return jax.jit(lambda a, b: lpips_distance(params, a, b))
+
+
+def make_random_lpips_npz(out_path, seed: int = 0):
+    """Write a structurally-valid LPIPS .npz with RANDOM weights.
+
+    For exercising the metric/loss machinery (shapes, jit, gradients) in tests
+    and zero-egress environments — NOT a perceptual-parity metric. Real numbers
+    require ``convert_torch_lpips`` run where torch+lpips downloads exist.
+    """
+    rng = np.random.default_rng(seed)
+    out = {}
+    in_ch = 3
+    for i, (out_ch, k, _, _) in enumerate(_ALEX_CFG):
+        out[f"conv{i}_w"] = rng.normal(
+            0, (2.0 / (k * k * in_ch)) ** 0.5,
+            (k, k, in_ch, out_ch)).astype(np.float32)
+        out[f"conv{i}_b"] = np.zeros(out_ch, np.float32)
+        out[f"lin{i}_w"] = rng.uniform(0, 1, out_ch).astype(np.float32)
+        in_ch = out_ch
+    np.savez(out_path, **out)
 
 
 def convert_torch_lpips(out_path):

@@ -64,8 +64,11 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
     ref_volume = jnp.broadcast_to(ref_feats[None], (D, hp, wp, C))
 
     # images downsampled to feature resolution (align_corners=False bilinear,
-    # networks.py:1101)
-    imgs_small = jax.image.resize(imgs, (V, h, w, 3), method="linear")
+    # networks.py:1101). antialias=False: torch F.interpolate(bilinear) does NOT
+    # low-pass before downsampling — jax's default antialias=True diverged by
+    # ~1.4 max abs on the RGB cost channels (caught by test_parity_oracle).
+    imgs_small = jax.image.resize(imgs, (V, h, w, 3), method="linear",
+                                  antialias=False)
     ref_img = jnp.pad(imgs_small[0], ((pad, pad), (pad, pad), (0, 0)))
     ref_img = jnp.broadcast_to(ref_img[None], (D, hp, wp, 3))
 

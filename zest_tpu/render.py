@@ -165,6 +165,39 @@ def build_color_features(pts_world, images, w2cs, intrinsics, with_mask: bool = 
     return jnp.moveaxis(feats, 0, 2).reshape(R, S, Vv * C)
 
 
+def append_color_volume(volume, images, w2cs, intrinsics, near_far, inv_scale,
+                        pad: int = 0):
+    """Precompute per-view RGB+mask at every voxel center (``--use_color_volume``).
+
+    Reference semantics (opt.py:50, renderer.py:63-69, upstream-MVSNeRF lineage):
+    when the flag is set, per-point conditioning is ONE trilinear gather of a
+    volume that already carries the color channels, instead of re-projecting every
+    ray point into every source view. TPU-friendly: turns R·S·V image gathers per
+    step into a single per-image precompute + one volume gather.
+
+    Args:
+        volume: [D, Hv, Wv, 8] encoding volume.
+        images: [V, H, W, 3] unnormalized source images.
+        w2cs/intrinsics: [V+1, ...] pose stack whose entry 0 is the NDC reference
+            view (only [0] and the first V entries are used).
+        near_far: [2] of the reference view; inv_scale: [2] = (W-1, H-1).
+    Returns: [D, Hv, Wv, 8 + V*4]
+    """
+    D, Hv, Wv, _ = volume.shape
+    zs = jnp.linspace(0.0, 1.0, D)
+    ys = jnp.linspace(0.0, 1.0, Hv)
+    xs = jnp.linspace(0.0, 1.0, Wv)
+    gz, gy, gx = jnp.meshgrid(zs, ys, xs, indexing="ij")
+    ndc = jnp.stack([gx, gy, gz], -1)                       # [D, Hv, Wv, 3]
+    pts_world = geometry.ndc_to_world(ndc, w2cs[0], intrinsics[0], inv_scale,
+                                      near=near_far[0], far=near_far[1], pad=pad)
+    V = images.shape[0]
+    colors = build_color_features(pts_world.reshape(D * Hv, Wv, 3), images,
+                                  w2cs[:V], intrinsics[:V])
+    colors = colors.reshape(D, Hv, Wv, V * 4).astype(volume.dtype)
+    return jnp.concatenate([volume, colors], -1)
+
+
 # ---------------------------------------------------------------------------
 # full two-field scene-flow rendering
 # ---------------------------------------------------------------------------
@@ -242,17 +275,22 @@ def render_rays(models: RenderModels, rays, *, im_w2c_ref=None, nb_w2c_ref=None,
     # ---------------- dynamic field @ t (renderer.py:409-453) ----------------
     views_dy = _embed_dirs(rays.rays_d, cos_angle, nb_w2c_ref, S, models.multires_views)
 
-    def eval_dynamic(ndc_xyz, frame_idx, key=None):
-        """One dynamic-field evaluation at (possibly warped) NDC points + time."""
+    def eval_dynamic(ndc_xyz, frame_idx, key=None, banded=False):
+        """One dynamic-field evaluation at (possibly warped) NDC points + time.
+
+        ``banded=True`` only for UNWARPED points (z-banded volume-sampling
+        kernel; warped points carry scene-flow gradients through ndc).
+        """
         t_ch = jnp.full_like(ndc_xyz[..., :1], 1.0) * frame_idx
         xyzt = jnp.concatenate([ndc_xyz, t_ch], -1)
         emb = positional_encoding(xyzt, models.multires)
-        feats = models.dynamic_feats(rays.pts, ndc_xyz) if models.dynamic_feats else None
+        feats = models.dynamic_feats(rays.pts, ndc_xyz, banded) \
+            if models.dynamic_feats else None
         n_rep = ndc_xyz.shape[0] // R
         v = views_dy if n_rep == 1 else jnp.concatenate([views_dy] * n_rep, 0)
         return xyzt, models.dynamic_fn(emb, feats, v)
 
-    raw_pts_ref, raw_ref_t = eval_dynamic(rays.ndc, ref_frame_idx)
+    raw_pts_ref, raw_ref_t = eval_dynamic(rays.ndc, ref_frame_idx, banded=True)
     raw_rgba_ref = raw_ref_t[..., :4]
     raw_sf_ref2prev = raw_ref_t[..., 4:7]
     raw_sf_ref2post = raw_ref_t[..., 7:10]
@@ -293,7 +331,7 @@ def render_rays(models: RenderModels, rays, *, im_w2c_ref=None, nb_w2c_ref=None,
     emb_pp = positional_encoding(xyzt_pp, models.multires)
     if models.dynamic_feats is not None:
         pts2 = jnp.concatenate([rays.pts, rays.pts], 0)
-        feats_pp = models.dynamic_feats(pts2, stacked_ndc)
+        feats_pp = models.dynamic_feats(pts2, stacked_ndc, False)
     else:
         feats_pp = None
     views2 = jnp.concatenate([views_dy, views_dy], 0)

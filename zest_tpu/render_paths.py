@@ -20,6 +20,60 @@ from .train_loop import build_datasets, to_device
 from .utils.visualize import save_image, visualize_depth
 
 
+def run_llff_spiral(cfg: ZestConfig, n_poses: int = 60, spheric: bool = False,
+                    quiet=False):
+    """Render along an LLFF spiral (forward-facing) or spheric (360°) path.
+
+    The reference *defines* these pose generators (data/llff.py:99-170) but no
+    reference entry point ever executes them; this completes the capability.
+    Radii/focus follow the nerf-pytorch conventions the generators came from:
+    radii = 90th-percentile |camera translation|, focus depth 3.5 (scaled space).
+    """
+    from .data.llff import create_spheric_poses, create_spiral_poses
+
+    datasets = build_datasets(cfg, splits=("test",))
+    test_ds = datasets["test"]
+    save_root = Path(cfg.save_dir) / cfg.expname
+
+    system = ZestSystem(cfg)
+    sample = test_ds[0]
+    batch0 = to_device(sample)
+    params = system.init_params(jax.random.PRNGKey(0), batch0)
+    if cfg.ckpt:
+        mgr = CheckpointManager(Path(cfg.ckpt).parent)
+        optimizer = system.make_optimizer(1)
+        state = TrainState(params, optimizer.init(params), jnp.asarray(0))
+        params = TrainState(*mgr.restore(Path(cfg.ckpt).name, tuple(state))).params
+
+    sc = test_ds.metas[0][0]
+    c2ws_all = np.asarray(test_ds.cam2worlds[sc])
+    if spheric:
+        radius = 1.1 * float(np.min(np.linalg.norm(c2ws_all[:, :3, 3], axis=-1)))
+        path = create_spheric_poses(radius, n_poses)
+    else:
+        radii = np.percentile(np.abs(c2ws_all[:, :3, 3]), 90, axis=0)
+        path = create_spiral_poses(radii, focus_depth=3.5, n_poses=n_poses)
+
+    eval_fn = system.make_eval_step()
+    out_dir = save_root / ("render_spheric" if spheric else "render_spiral")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for i, pose in enumerate(path):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3] = pose
+        sample["c2ws"][-1] = c2w
+        sample["w2cs"][-1] = np.linalg.inv(c2w)
+        maps = eval_fn(params, to_device(sample))
+        key = "rgb_map_ref" if cfg.train_sceneflow else "rgb_map"
+        dkey = "depth_map_ref" if cfg.train_sceneflow else "depth_map"
+        save_image(out_dir / f"rgb_{i:03d}.png",
+                   np.clip(np.asarray(maps[key]), 0, 1))
+        save_image(out_dir / f"depth_{i:03d}.png",
+                   visualize_depth(np.asarray(maps[dkey])))
+    if not quiet:
+        print(json.dumps({"poses": len(path), "out": str(out_dir)}))
+    return out_dir
+
+
 def run_wanderpath(cfg: ZestConfig, frame_range=(20, 51), n_poses=None,
                    quiet=False):
     datasets = build_datasets(cfg, splits=("test",))

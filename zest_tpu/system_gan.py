@@ -60,10 +60,19 @@ class GanSystem:
             from .models.discriminators import NLayerDiscriminator
             self.depth_disc = NLayerDiscriminator(self.cfg.patch_size, 1, 64, 3)
         self._lpips = None
-        if self.cfg.with_perceptual_loss and self.cfg.lpips_weights:
-            self._lpips = load_lpips(self.cfg.lpips_weights)
+        if self.cfg.with_perceptual_loss:
+            if not self.cfg.lpips_weights:
+                # loud, not silent: a config that asks for the perceptual term
+                # without weights would otherwise train a different objective
+                import warnings
+                warnings.warn(
+                    "--with_perceptual_loss set but --lpips_weights missing: "
+                    "the perceptual term is DISABLED (zero-egress env needs a "
+                    "local LPIPS .npz; see models/lpips.py)", stacklevel=2)
+            else:
+                self._lpips = load_lpips(self.cfg.lpips_weights)
 
-    def init(self, rng, batch) -> GanTrainState:
+    def init(self, rng, batch, steps_per_epoch: int = 1) -> GanTrainState:
         cfg = self.cfg
         k1, k2, k3 = jax.random.split(rng, 3)
         gen_params = self.system.init_params(k1, batch)
@@ -78,8 +87,8 @@ class GanSystem:
             depth_params = self.depth_disc.init(
                 k3, jnp.zeros((1, n_rays, 1)))["params"]
 
-        opt = self.system.make_optimizer(1)
-        d_opt = self.make_disc_optimizer()
+        opt = self.system.make_optimizer(steps_per_epoch)
+        d_opt = self.make_disc_optimizer(steps_per_epoch)
         return GanTrainState(
             params=gen_params, disc_params=disc_params,
             depth_disc_params=depth_params,
@@ -89,13 +98,14 @@ class GanSystem:
                                   if self.depth_disc else {}),
             disc_vars=disc_vars, step=jnp.asarray(0))
 
-    def make_disc_optimizer(self):
-        """Adam(lrate_disc) + cosine anneal (train.py:282-293)."""
+    def make_disc_optimizer(self, steps_per_epoch: int = 1):
+        """Adam(lrate_disc) + cosine anneal stepped once per EPOCH
+        (CosineAnnealingLR in train.py:282-293 is epoch-granular)."""
         cfg = self.cfg
         eps = 1e-7
 
         def sched(step):
-            ep = jnp.minimum(step, cfg.num_epochs)
+            ep = jnp.minimum(step // max(steps_per_epoch, 1), cfg.num_epochs)
             return eps + (cfg.lrate_disc - eps) * 0.5 * (
                 1 + jnp.cos(jnp.pi * ep / cfg.num_epochs))
         return optax.adam(sched, b1=0.9, b2=0.999)
@@ -128,7 +138,12 @@ class GanSystem:
                 rgb_gt = rays.color_gt
                 depth_pred = ret["depth_map"][..., None]
 
-                fake_in = rgb_pred[None]
+                # discriminators see per-patch samples: [n_patches, patch², C]
+                # (reference configs use batch_size == patch_size², i.e. one
+                # patch — this generalizes to several patches per step)
+                ppx = cfg.patch_size ** 2 if cfg.patch_size > 0 \
+                    else rgb_pred.shape[0]
+                fake_in = rgb_pred.reshape(-1, ppx, 3)
                 d_fake, _ = self._apply_disc(state.disc_params, state.disc_vars,
                                              fake_in, k_flip)
                 if cfg.getIntermFeat:
@@ -138,22 +153,26 @@ class GanSystem:
 
                 g_feat_loss = 0.0
                 if cfg.getIntermFeat:
-                    d_real, _ = self._apply_disc(state.disc_params,
-                                                 state.disc_vars,
-                                                 jax.lax.stop_gradient(rgb_gt)[None],
-                                                 k_flip)
+                    d_real, _ = self._apply_disc(
+                        state.disc_params, state.disc_vars,
+                        jax.lax.stop_gradient(rgb_gt).reshape(-1, ppx, 3),
+                        k_flip)
                     for ff, fr in zip(interm_fake, d_real[:-1]):
                         g_feat_loss += jnp.mean(jnp.abs(ff - fr))
 
                 g_depth_fake_loss = 0.0
                 if self.depth_disc is not None:
                     dd = self.depth_disc.apply({"params": state.depth_disc_params},
-                                               depth_pred[None])
+                                               depth_pred.reshape(-1, ppx, 1))
                     g_depth_fake_loss = adversarial_loss(cfg, dd, True)
 
                 rec_depth_loss = 0.0
                 if cfg.with_depth_loss_rec:
-                    rec_depth_loss = jnp.mean((depth_pred - rays.depth_gt) ** 2)
+                    # elementwise MSE: depth_pred is [R,1], depth_gt [R]. The
+                    # reference's train.py:679 broadcasts [R,1]-[R] to [R,R]
+                    # (a torch bug, not a feature) — fixed here, documented.
+                    rec_depth_loss = jnp.mean(
+                        (depth_pred - rays.depth_gt[..., None]) ** 2)
 
                 g_rec_loss = cfg.lambda_rec * jnp.mean((rgb_pred - rgb_gt) ** 2)
 
@@ -197,8 +216,10 @@ class GanSystem:
                          if not k.startswith(("rgb", "depth"))})
 
             # ---------------- discriminator update (optimizer_idx == 1) ---------
-            fake = aux["rgb_pred"][None]
-            real = aux["rgb_gt"][None]
+            ppx = cfg.patch_size ** 2 if cfg.patch_size > 0 \
+                else aux["rgb_pred"].shape[0]
+            fake = aux["rgb_pred"].reshape(-1, ppx, 3)
+            real = aux["rgb_gt"].reshape(-1, ppx, 3)
 
             def disc_loss_fn(disc_params):
                 d_fake, vars1 = self._apply_disc(disc_params, state.disc_vars,
@@ -223,8 +244,8 @@ class GanSystem:
             new_depth_params = state.depth_disc_params
             new_dd_opt = state.depth_disc_opt_state
             if self.depth_disc is not None:
-                fake_d = aux["depth_pred"][None]
-                real_d = aux["depth_gt"][None, :, None]
+                fake_d = aux["depth_pred"].reshape(-1, ppx, 1)
+                real_d = aux["depth_gt"].reshape(-1, ppx, 1)
 
                 def dd_loss_fn(p):
                     df = self.depth_disc.apply({"params": p}, fake_d)

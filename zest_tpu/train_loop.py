@@ -54,34 +54,89 @@ def to_device(sample):
     return {k: jnp.asarray(v) for k, v in sample.items()}
 
 
-class MetricLogger:
-    """CSV + stdout logging (observability replacement for W&B scalars)."""
+class WandbAdapter:
+    """Optional W&B sink with the reference's resumable-run-id semantics
+    (train.py:1297-1314): the run id persists in wandb_id.txt so a resumed
+    training continues the same W&B run. Dormant when wandb is not installed
+    (this image has no wandb and no egress)."""
 
-    def __init__(self, save_dir: Path):
-        save_dir.mkdir(parents=True, exist_ok=True)
-        self.path = save_dir / "metrics.csv"
-        self._keys = None
-        self._fh = None
+    def __init__(self, save_dir: Path, expname: str, project: str = "SVS"):
+        import wandb  # raises ImportError when unavailable — caller gates
+        id_file = save_dir / "wandb_id.txt"
+        if id_file.exists():
+            run_id = id_file.read_text().strip()
+        else:
+            run_id = wandb.util.generate_id()
+            save_dir.mkdir(parents=True, exist_ok=True)
+            id_file.write_text(run_id)
+        self.run = wandb.init(project=project, name=expname, id=run_id,
+                              resume="allow")
 
     def log(self, step: int, scalars: dict):
-        scalars = {k: float(v) for k, v in scalars.items()}
-        if self._fh is None:
-            exists = self.path.exists()
-            self._fh = open(self.path, "a", newline="")
-            self._writer = None
-        if self._keys is None:
-            self._keys = ["step"] + sorted(scalars)
-            self._writer = csv.DictWriter(self._fh, fieldnames=self._keys,
-                                          extrasaction="ignore")
-            if self.path.stat().st_size == 0:
-                self._writer.writeheader()
-        row = {"step": step, **scalars}
-        self._writer.writerow(row)
+        self.run.log({k: float(v) for k, v in scalars.items()}, step=step)
+
+    def close(self):
+        self.run.finish()
+
+
+def _maybe_wandb(save_dir: Path, expname: str):
+    try:
+        return WandbAdapter(save_dir, expname)
+    except Exception:
+        return None
+
+
+class MetricLogger:
+    """CSV + stdout logging (observability replacement for W&B scalars).
+
+    Distinct rows carry distinct key sets (train scalars vs val metrics); when a
+    row introduces new keys the file is rewritten with the expanded header so no
+    column is silently dropped (round-1 bug: first-row-frozen fieldnames lost all
+    val_* columns).
+    """
+
+    def __init__(self, save_dir: Path, expname: str = ""):
+        save_dir.mkdir(parents=True, exist_ok=True)
+        self.path = save_dir / "metrics.csv"
+        self._wandb = _maybe_wandb(save_dir, expname) if expname else None
+        self._keys: list = []
+        self._rows: list = []
+        self._fh = None
+        self._writer = None
+        if self.path.exists():  # resumed run: keep prior rows
+            with open(self.path, newline="") as f:
+                reader = csv.DictReader(f)
+                self._keys = list(reader.fieldnames or [])
+                self._rows = list(reader)
+
+    def _reopen(self):
+        if self._fh:
+            self._fh.close()
+        self._fh = open(self.path, "w", newline="")
+        self._writer = csv.DictWriter(self._fh, fieldnames=self._keys,
+                                      restval="")
+        self._writer.writeheader()
+        for row in self._rows:
+            self._writer.writerow(row)
+
+    def log(self, step: int, scalars: dict):
+        row = {"step": step, **{k: float(v) for k, v in scalars.items()}}
+        new = [k for k in row if k not in self._keys]
+        self._rows.append(row)
+        if new or self._fh is None:
+            self._keys += new
+            self._reopen()
+        else:
+            self._writer.writerow(row)
         self._fh.flush()
+        if self._wandb is not None:
+            self._wandb.log(step, {k: v for k, v in row.items() if k != "step"})
 
     def close(self):
         if self._fh:
             self._fh.close()
+        if self._wandb is not None:
+            self._wandb.close()
 
 
 def validate(cfg, system, eval_fn, params, val_ds, save_dir: Path, step: int,
@@ -122,13 +177,17 @@ def validate(cfg, system, eval_fn, params, val_ds, save_dir: Path, step: int,
 
 
 def _maybe_lpips(cfg):
+    """LPIPS metric when weights are configured. A bad/missing weight file is an
+    ERROR (silently dropping the metric hides parity gaps), not a fallback."""
     if not cfg.lpips_weights:
         return None
+    from .models.lpips import load_lpips
     try:
-        from .models.lpips import load_lpips
         return load_lpips(cfg.lpips_weights)
-    except Exception:
-        return None
+    except Exception as e:
+        raise RuntimeError(
+            f"--lpips_weights {cfg.lpips_weights!r} was set but loading failed; "
+            f"refusing to silently disable the LPIPS metric") from e
 
 
 def run_training(cfg: ZestConfig, max_steps: Optional[int] = None,
@@ -154,24 +213,50 @@ def run_training(cfg: ZestConfig, max_steps: Optional[int] = None,
 
     save_dir = Path(cfg.save_dir) / cfg.expname
     ckpt = CheckpointManager(save_dir / "ckpts", cfg)
-    logger = MetricLogger(save_dir)
+    logger = MetricLogger(save_dir, cfg.expname)
 
     system = ZestSystem(cfg)
     batch0 = to_device(train_ds[0])
     rng, k_init = jax.random.split(rng)
-    params = system.init_params(k_init, batch0)
-    optimizer = system.make_optimizer(steps_per_epoch)
-    state = TrainState(params, optimizer.init(params), jnp.asarray(0))
+
+    gan = None
+    if cfg.gan_type:
+        # adversarial (SVS) branch: generator + discriminator(s), 3 optimizers
+        # (reference dispatches on gan_type inside training_step, train.py:640-741)
+        from .system_gan import GanSystem, GanTrainState
+        if cfg.acc_grad > 1:
+            import warnings
+            warnings.warn("acc_grad > 1 is not supported on the GAN path; "
+                          "ignoring it", stacklevel=2)
+        gan = GanSystem(system)
+        state = gan.init(k_init, batch0, steps_per_epoch)
+        optimizer = system.make_optimizer(steps_per_epoch)
+        disc_optimizer = gan.make_disc_optimizer(steps_per_epoch)
+        state_cls = GanTrainState
+    else:
+        params = system.init_params(k_init, batch0)
+        # gradient accumulation (reference accumulate_grad_batches,
+        # train.py:1333): optax.MultiSteps applies the update every acc_grad
+        # micro-steps; the cosine schedule sees optimizer steps, so scale the
+        # per-epoch step count accordingly
+        opt_steps_per_epoch = max(steps_per_epoch // max(cfg.acc_grad, 1), 1)
+        optimizer = system.make_optimizer(opt_steps_per_epoch)
+        if cfg.acc_grad > 1:
+            import optax
+            optimizer = optax.MultiSteps(optimizer, cfg.acc_grad)
+        state = TrainState(params, optimizer.init(params), jnp.asarray(0))
+        state_cls = TrainState
 
     # auto-resume (train.py:1317-1321)
     if cfg.ckpt:
-        state = TrainState(*ckpt_restore_external(cfg.ckpt, state))
+        state = state_cls(*ckpt_restore_external(cfg.ckpt, state))
     elif ckpt.has_last():
-        state = TrainState(*ckpt.restore("last", tuple(state)))
+        state = state_cls(*ckpt.restore("last", tuple(state)))
         if not quiet:
             print(f"resumed from {ckpt.dir/'last'} at step {int(state.step)}")
 
-    step_fn = system.make_train_step(optimizer)
+    step_fn = (gan.make_train_step(optimizer, disc_optimizer) if gan is not None
+               else system.make_train_step(optimizer))
     eval_fn = system.make_eval_step()
 
     total_steps = max_steps if max_steps is not None else \
@@ -185,10 +270,13 @@ def run_training(cfg: ZestConfig, max_steps: Optional[int] = None,
     while host_step < total_steps:
         epoch = host_step // steps_per_epoch
         order = perm_rng.permutation(len(train_ds))
-        for i in order:
+        # background-thread prefetch: host IO (PNG decode, resize) overlaps the
+        # device step instead of stalling it (pipeline.py; reference's
+        # DataLoader(num_workers=4), train.py:303-310)
+        from .data.pipeline import prefetch_to_device
+        for batch in prefetch_to_device(train_ds, iter(order), buffer_size=2):
             if host_step >= total_steps:
                 break
-            batch = to_device(train_ds[int(i)])
             phase = phase_for_step(cfg, host_step)
             rng, k = jax.random.split(rng)
             state, logs = step_fn(state, batch, k, phase)
