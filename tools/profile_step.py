@@ -1,0 +1,82 @@
+"""Capture a jax.profiler trace of the flagship train step on the real chip and
+aggregate leaf-event durations by op 'source' — the round-1 methodology from
+BENCH_NOTES.md (the axon tunnel memoizes repeat executions, so naive timing
+loops lie; traces do not).
+
+Usage (real TPU, JAX_PLATFORMS=axon preset):
+    python tools/profile_step.py [outdir]
+Then aggregate:
+    python tools/profile_step.py --aggregate <outdir>
+"""
+import glob
+import gzip
+import json
+import sys
+from collections import defaultdict
+
+
+def capture(outdir):
+    import jax
+    import jax.numpy as jnp
+    from zest_tpu.config import ZestConfig
+    from zest_tpu.data.synthetic import SyntheticDataset
+    from zest_tpu.system import ZestSystem, TrainState, phase_for_step
+
+    cfg = ZestConfig(train_sceneflow=True, use_mvs=True, use_mvs_dy=True,
+                     pad=24, num_keyframes=8, netdepth=8, netwidth=256,
+                     multires=10, multires_views=4, N_samples=128,
+                     batch_size=600, num_extra_samples=512,
+                     use_motion_mask=True, decay_iteration=30,
+                     with_chain_loss=True, pts_embedder=True,
+                     dir_embedder=True, use_viewdirs=True, num_epochs=6000,
+                     raw_noise_std=1.0, img_h=288, img_w=512, precision=16)
+    ds = SyntheticDataset(img_h=288, img_w=512, num_frames=24, num_keyframes=8,
+                          use_mvs=True, use_mvs_dy=True)
+    batch = {k: jnp.asarray(v) for k, v in ds[3].items()}
+    system = ZestSystem(cfg)
+    params = system.init_params(jax.random.PRNGKey(0), batch)
+    opt = system.make_optimizer(steps_per_epoch=24)
+    state = TrainState(params, opt.init(params), jnp.asarray(0))
+    step_fn = system.make_train_step(opt)
+    phase = phase_for_step(cfg, 0)
+    rng = jax.random.PRNGKey(1)
+
+    state, logs = step_fn(state, batch, rng, phase)   # compile
+    jax.block_until_ready(logs["train_loss"])
+
+    with jax.profiler.trace(outdir):
+        for _ in range(3):
+            rng, k = jax.random.split(rng)
+            state, logs = step_fn(state, batch, k, phase)
+        jax.block_until_ready(logs["train_loss"])
+    print("trace written to", outdir)
+
+
+def aggregate(outdir, top=30):
+    files = glob.glob(f"{outdir}/**/*.trace.json.gz", recursive=True)
+    assert files, f"no trace under {outdir}"
+    ev_by_src = defaultdict(float)
+    total = 0.0
+    for f in files:
+        with gzip.open(f, "rt") as fh:
+            data = json.load(fh)
+        for ev in data.get("traceEvents", []):
+            if ev.get("ph") != "X" or "dur" not in ev:
+                continue
+            args = ev.get("args") or {}
+            # only device-lane leaf ops (they carry a source/name)
+            src = args.get("source") or ""
+            name = ev.get("name", "")
+            key = f"{name.split('.')[0][:46]} | {src.split('/')[-1][:46]}"
+            ev_by_src[key] += ev["dur"] / 1e3   # ms
+            total += ev["dur"] / 1e3
+    print(f"total leaf-event ms over 3 steps: {total:.1f}  (/3 per step)")
+    for k, v in sorted(ev_by_src.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{v/3:9.2f} ms  {k}")
+
+
+if __name__ == "__main__":
+    if sys.argv[1:2] == ["--aggregate"]:
+        aggregate(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 30)
+    else:
+        capture(sys.argv[1] if len(sys.argv) > 1 else "/tmp/zest_trace")
