@@ -46,7 +46,9 @@ def test_cost_volume_channel_layout():
     cost = build_cost_volume(imgs, feats, proj, depths, pad=0)
     assert cost.shape == (2, h, w, 9 + C)
 
-    imgs_small = jax.image.resize(imgs, (V, h, w, 3), method="linear")
+    # antialias=False matches torch F.interpolate(bilinear) (test_parity_oracle)
+    imgs_small = jax.image.resize(imgs, (V, h, w, 3), method="linear",
+                                  antialias=False)
     # identity warp: warped src1/src2 == their downsampled images
     np.testing.assert_allclose(np.asarray(cost[0, ..., 0:3]),
                                np.asarray(imgs_small[0]), atol=1e-4)

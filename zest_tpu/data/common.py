@@ -49,10 +49,29 @@ def resize_image(img, wh, method="lanczos"):
 
 
 def load_image(path, wh):
-    """PNG/JPG → [H, W, 3] float in [0,1], LANCZOS-resized (data/nsff.py:300-302)."""
+    """PNG/JPG → [H, W, 3] float in [0,1], LANCZOS-resized (data/nsff.py:300-302).
+
+    Uses the native C++ decode+resize pipeline when available (GIL-free
+    multi-threaded; Pillow-compatible resampling — see data/native_io.py);
+    falls back to PIL."""
+    from .native_io import load_image_native, worth_using
+    if worth_using():
+        out = load_image_native(path, wh)
+        if out is not None:
+            return out
     from PIL import Image
     img = Image.open(path).convert("RGB").resize(wh, Image.LANCZOS)
     return np.asarray(img, np.float32) / 255.0
+
+
+def load_images(paths, wh):
+    """Batch variant: decodes all views of a sample in parallel natively."""
+    from .native_io import load_images_native, worth_using
+    if worth_using():
+        out = load_images_native(paths, wh)
+        if out is not None:
+            return out
+    return np.stack([load_image(p, wh) for p in paths])
 
 
 def uv_grid(H, W):
