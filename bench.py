@@ -58,16 +58,19 @@ def main():
 
     n_rays = cfg.batch_size + cfg.num_extra_samples
 
-    # warmup (compile)
+    # warmup (compile). NOTE: the axon tunnel DEFERS execution —
+    # jax.block_until_ready returns immediately without running anything; only
+    # an actual value transfer (float()) forces the computation chain. Timing
+    # with block_until_ready reads dispatch rate (~3 ms/step), not step time.
     state, logs = step_fn(state, batch, rng, phase)
-    jax.block_until_ready(logs["train_loss"])
+    float(logs["train_loss"])
 
     n_steps = 10
     t0 = time.perf_counter()
     for i in range(n_steps):
         rng, k = jax.random.split(rng)
         state, logs = step_fn(state, batch, k, phase)
-    jax.block_until_ready(logs["train_loss"])
+    float(logs["train_loss"])   # forces the whole n_steps chain
     dt = time.perf_counter() - t0
 
     rays_per_sec = n_rays * n_steps / dt

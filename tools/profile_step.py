@@ -42,13 +42,16 @@ def capture(outdir):
     rng = jax.random.PRNGKey(1)
 
     state, logs = step_fn(state, batch, rng, phase)   # compile
-    jax.block_until_ready(logs["train_loss"])
+    # axon tunnel defers execution: block_until_ready is a no-op; only a value
+    # transfer forces the chain. Force the warmup BEFORE the trace window so the
+    # trace contains exactly the 3 timed steps, and force again inside it.
+    float(logs["train_loss"])
 
     with jax.profiler.trace(outdir):
         for _ in range(3):
             rng, k = jax.random.split(rng)
             state, logs = step_fn(state, batch, k, phase)
-        jax.block_until_ready(logs["train_loss"])
+        float(logs["train_loss"])
     print("trace written to", outdir)
 
 

@@ -90,18 +90,27 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
         else:
             if use_pallas_warp:
                 # MXU banded-matmul kernel (kernels/plane_sweep.py); falls back
-                # to the XLA gather path when the feature width is not 128
+                # to the XLA gather path when the feature width is not 128.
+                # Img channels ride along in the same call (shared tap data +
+                # interpolation matrices) instead of a second kernel launch.
                 from ..kernels.plane_sweep import homo_warp_fast
-                warp = lambda f, **kw: homo_warp_fast(f, proj_mats[i + 1],
-                                                      depth_values, pad=pad,
-                                                      band=warp_band)
+                src = feats[i + 1]
+                if i < 2:
+                    src = jnp.concatenate(
+                        [src, imgs_small[i + 1].astype(src.dtype)], axis=-1)
+                warped, grid = homo_warp_fast(src, proj_mats[i + 1],
+                                              depth_values, pad=pad,
+                                              band=warp_band)
+                warped_feat = warped[..., :C]
+                if i < 2:
+                    warped_rgb.append(warped[..., C:].astype(imgs_small.dtype))
             else:
                 warp = lambda f, **kw: homo_warp(f, proj_mats[i + 1],
                                                  depth_values, pad=pad, **kw)
-            warped_feat, grid = warp(feats[i + 1])
-            if i < 2:
-                warped_img, _ = warp(imgs_small[i + 1], src_grid=grid)
-                warped_rgb.append(warped_img)
+                warped_feat, grid = warp(feats[i + 1])
+                if i < 2:
+                    warped_img, _ = warp(imgs_small[i + 1], src_grid=grid)
+                    warped_rgb.append(warped_img)
             mask = in_bounds_mask(grid)
         mask_sum = mask_sum + mask
         volume_sum = volume_sum + warped_feat

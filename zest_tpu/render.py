@@ -203,11 +203,18 @@ def append_color_volume(volume, images, w2cs, intrinsics, near_far, inv_scale,
 # ---------------------------------------------------------------------------
 
 class RenderModels(NamedTuple):
-    """Injected field evaluators + conditioning-feature callables."""
+    """Injected field evaluators + conditioning-feature callables.
+
+    The dynamic conditioning is split into a volume part (a function of the
+    *warped* NDC points) and a color part (a function of the UNWARPED world
+    points only, utils.py:461-505) — so render_rays computes the color features
+    ONCE per ray batch and reuses them across the t, t±1 and chain passes
+    instead of re-gathering identical values 3-4x."""
     static_fn: Callable                         # (pts_emb, feats, views) -> raw
     dynamic_fn: Optional[Callable] = None
     static_feats: Optional[Callable] = None      # (pts_world, ndc3) -> [R,S,F] | None
-    dynamic_feats: Optional[Callable] = None
+    dynamic_vol: Optional[Callable] = None       # (ndc3, banded) -> [R,S,8] | None
+    dynamic_col: Optional[Callable] = None       # (pts_world) -> [R,S,V*4] | None
     multires: int = 10
     multires_views: int = 4
 
@@ -275,6 +282,18 @@ def render_rays(models: RenderModels, rays, *, im_w2c_ref=None, nb_w2c_ref=None,
     # ---------------- dynamic field @ t (renderer.py:409-453) ----------------
     views_dy = _embed_dirs(rays.rays_d, cos_angle, nb_w2c_ref, S, models.multires_views)
 
+    # color features depend only on the UNWARPED world points → compute once,
+    # reuse for the t, t±1 (2R stacked) and chain passes
+    col_dy = models.dynamic_col(rays.pts) if models.dynamic_col else None
+
+    def dyn_feats(ndc_xyz, banded):
+        if models.dynamic_vol is None:
+            return None
+        vol = models.dynamic_vol(ndc_xyz, banded)
+        n_rep = ndc_xyz.shape[0] // R
+        col = col_dy if n_rep == 1 else jnp.concatenate([col_dy] * n_rep, 0)
+        return jnp.concatenate([vol, col], -1)
+
     def eval_dynamic(ndc_xyz, frame_idx, key=None, banded=False):
         """One dynamic-field evaluation at (possibly warped) NDC points + time.
 
@@ -284,8 +303,7 @@ def render_rays(models: RenderModels, rays, *, im_w2c_ref=None, nb_w2c_ref=None,
         t_ch = jnp.full_like(ndc_xyz[..., :1], 1.0) * frame_idx
         xyzt = jnp.concatenate([ndc_xyz, t_ch], -1)
         emb = positional_encoding(xyzt, models.multires)
-        feats = models.dynamic_feats(rays.pts, ndc_xyz, banded) \
-            if models.dynamic_feats else None
+        feats = dyn_feats(ndc_xyz, banded)
         n_rep = ndc_xyz.shape[0] // R
         v = views_dy if n_rep == 1 else jnp.concatenate([views_dy] * n_rep, 0)
         return xyzt, models.dynamic_fn(emb, feats, v)
@@ -329,11 +347,7 @@ def render_rays(models: RenderModels, rays, *, im_w2c_ref=None, nb_w2c_ref=None,
     xyzt_pp = jnp.concatenate([jnp.concatenate([prev_ndc, t_prev], -1),
                                jnp.concatenate([post_ndc, t_post], -1)], 0)
     emb_pp = positional_encoding(xyzt_pp, models.multires)
-    if models.dynamic_feats is not None:
-        pts2 = jnp.concatenate([rays.pts, rays.pts], 0)
-        feats_pp = models.dynamic_feats(pts2, stacked_ndc, False)
-    else:
-        feats_pp = None
+    feats_pp = dyn_feats(stacked_ndc, False)
     views2 = jnp.concatenate([views_dy, views_dy], 0)
     raw_both = models.dynamic_fn(emb_pp, feats_pp, views2)
     raw_prev, raw_post = raw_both[:R], raw_both[R:]

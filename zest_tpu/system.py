@@ -265,19 +265,22 @@ class ZestSystem:
                                                       batch["intrinsics"][:-1])
                     return jnp.concatenate([vol, col], -1)
 
-        dynamic_feats = None
+        dynamic_vol_fn = dynamic_col_fn = None
         if dyn_vol is not None:
-            def dynamic_feats(pts_world, ndc, banded=False):
-                vol = sample_vol(dyn_vol, ndc, banded)
-                col = render.build_color_features(pts_world, nb_imgs_un,
-                                                  batch["nb_w2cs"], batch["nb_intr"])
-                return jnp.concatenate([vol, col], -1)
+            def dynamic_vol_fn(ndc, banded=False):
+                return sample_vol(dyn_vol, ndc, banded)
+
+            def dynamic_col_fn(pts_world):
+                return render.build_color_features(pts_world, nb_imgs_un,
+                                                   batch["nb_w2cs"],
+                                                   batch["nb_intr"])
 
         # multires 0 == identity embedding (positional_encoding early-returns),
         # honoring --pts_embedder/--dir_embedder=False without a shape mismatch
         return render.RenderModels(static_fn=static_fn, dynamic_fn=dynamic_fn,
                                    static_feats=static_feats,
-                                   dynamic_feats=dynamic_feats,
+                                   dynamic_vol=dynamic_vol_fn,
+                                   dynamic_col=dynamic_col_fn,
                                    multires=cfg.multires if cfg.pts_embedder else 0,
                                    multires_views=(cfg.multires_views
                                                    if cfg.dir_embedder else 0))
