@@ -120,3 +120,58 @@ def test_trilinear_kernel_in_full_forward():
     for k in ("rgb_map", "rgb_map_ref", "depth_map_ref"):
         np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
                                    rtol=2e-5, atol=2e-5, err_msg=k)
+
+
+def test_trilinear_diff_matches_oracle_fwd_and_grads():
+    """sample_volume_zbanded_diff: fwd + d/d vol + d/d ndc vs XLA autodiff."""
+    from zest_tpu.kernels.trilinear import sample_volume_zbanded_diff
+    rng = np.random.default_rng(5)
+    D, Hv, Wv, C = 16, 10, 16, 8
+    vol = jnp.asarray(rng.normal(size=(D, Hv, Wv, C)).astype(np.float32))
+    base = _banded_ndc(rng, R=70, S=16, D=D)
+    # small flow-like perturbation keeps sites in a wider band
+    flow = jnp.asarray(rng.normal(scale=0.01, size=(70, 16, 3))
+                       .astype(np.float32))
+    ndc = jnp.clip(base + flow, 0.0, 1.0)
+    g = jnp.asarray(rng.normal(size=(70, 16, C)).astype(np.float32))
+
+    out_ref = grid_sample_3d(vol, ndc * 2.0 - 1.0, padding_mode="zeros")
+    out = sample_volume_zbanded_diff(vol, ndc, band=6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_ref(v, n):
+        return jnp.vdot(grid_sample_3d(v, n * 2.0 - 1.0,
+                                       padding_mode="zeros"), g)
+
+    def loss_kern(v, n):
+        return jnp.vdot(sample_volume_zbanded_diff(v, n, band=6), g)
+
+    gv_ref, gn_ref = jax.grad(loss_ref, argnums=(0, 1))(vol, ndc)
+    gv, gn = jax.grad(loss_kern, argnums=(0, 1))(vol, ndc)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gn), np.asarray(gn_ref),
+                               rtol=1e-4, atol=2e-4)
+
+
+def test_trilinear_diff_out_of_band_fallback_grads():
+    """Band violation → XLA branch, grads still flow (and match the oracle)."""
+    from zest_tpu.kernels.trilinear import sample_volume_zbanded_diff
+    rng = np.random.default_rng(6)
+    D, Hv, Wv, C = 16, 8, 12, 4
+    vol = jnp.asarray(rng.normal(size=(D, Hv, Wv, C)).astype(np.float32))
+    ndc = jnp.asarray(rng.uniform(0, 1, size=(20, 6, 3)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(20, 6, C)).astype(np.float32))
+
+    gv_ref, gn_ref = jax.grad(
+        lambda v, n: jnp.vdot(grid_sample_3d(v, n * 2.0 - 1.0,
+                                             padding_mode="zeros"), g),
+        argnums=(0, 1))(vol, ndc)
+    gv, gn = jax.grad(
+        lambda v, n: jnp.vdot(sample_volume_zbanded_diff(v, n, band=3), g),
+        argnums=(0, 1))(vol, ndc)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gn), np.asarray(gn_ref),
+                               rtol=1e-5, atol=1e-5)

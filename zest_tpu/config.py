@@ -134,6 +134,10 @@ class ZestConfig:
     warp_band: int = 16  # static source-row band; must cover required_band()
     use_pallas_trilinear: bool = True  # z-banded volume-sampling kernel
     z_band: int = 3  # depth-slice band per sample index (3 when S == n_planes)
+    # scene-flow-warped sites: flows widen the per-sample z spread, so the
+    # coordinate-differentiable kernel uses a wider band; runtime-guarded with
+    # an exact XLA fallback when trained flows outgrow it
+    z_band_warped: int = 8
     render_path: str = "auto"  # wander | spiral | spheric (render_spiral.py)
     # rays per traced eval iteration. The reference's --chunk (1024) is a CUDA
     # memory knob; one TPU chip comfortably renders far larger batches per pass,

@@ -51,7 +51,7 @@ LANES = 128
 # tap precomputation (XLA, fused elementwise)
 # ---------------------------------------------------------------------------
 
-def _precompute(ndc, D: int, Hv: int, Wv: int, band: int):
+def _precompute(ndc, D: int, Hv: int, Wv: int, band: int, derivs: bool = False):
     """Per-(sample, chunk) tap data from [R, S, 3] NDC coords in [0, 1].
 
     Returns:
@@ -61,6 +61,9 @@ def _precompute(ndc, D: int, Hv: int, Wv: int, band: int):
         flts_s [S, NC, 128, 4] f32    (wx0, wx1, wz0, wz1)
         zb     [S] int32              band start slice per sample index
         ok     [] bool                every nonzero-weight z tap is in-band
+    and, when ``derivs``:
+        dflts_l [S, NC, 2, 128] f32   (dwy0, dwy1)/d ndc_y  (scaled by Hv−1)
+        dflts_s [S, NC, 128, 4] f32   (dwx0, dwx1, dwz0, dwz1)/d ndc_{x,z}
     """
     R, S, _ = ndc.shape
     NC = -(-R // LANES)
@@ -70,18 +73,23 @@ def _precompute(ndc, D: int, Hv: int, Wv: int, band: int):
     # weights (grid_sample "zeros" semantics) → they contribute nothing
     p = jnp.pad(p, ((0, 0), (0, Rp - R), (0, 0)), constant_values=-10.0)
 
-    def taps(v, n):
+    def taps(v, n, scale):
         v0 = jnp.floor(v)
         f = v - v0
-        w0 = jnp.where((v0 >= 0) & (v0 <= n - 1), 1.0 - f, 0.0)
-        w1 = jnp.where((v0 + 1 >= 0) & (v0 + 1 <= n - 1), f, 0.0)
+        m0 = (v0 >= 0) & (v0 <= n - 1)
+        m1 = (v0 + 1 >= 0) & (v0 + 1 <= n - 1)
+        w0 = jnp.where(m0, 1.0 - f, 0.0)
+        w1 = jnp.where(m1, f, 0.0)
         i0 = jnp.clip(v0, 0, n - 1).astype(jnp.int32)
         i1 = jnp.clip(v0 + 1, 0, n - 1).astype(jnp.int32)
-        return i0, i1, w0, w1
+        # d w / d ndc-coordinate (where() grads as XLA autodiff would give them)
+        dw0 = jnp.where(m0, -scale, 0.0)
+        dw1 = jnp.where(m1, scale, 0.0)
+        return i0, i1, w0, w1, dw0, dw1
 
-    ix0, ix1, wx0, wx1 = taps(p[..., 0] * (Wv - 1), Wv)
-    iy0, iy1, wy0, wy1 = taps(p[..., 1] * (Hv - 1), Hv)
-    iz0, iz1, wz0, wz1 = taps(p[..., 2] * (D - 1), D)
+    ix0, ix1, wx0, wx1, dwx0, dwx1 = taps(p[..., 0] * (Wv - 1), Wv, Wv - 1.0)
+    iy0, iy1, wy0, wy1, dwy0, dwy1 = taps(p[..., 1] * (Hv - 1), Hv, Hv - 1.0)
+    iz0, iz1, wz0, wz1, dwz0, dwz1 = taps(p[..., 2] * (D - 1), D, D - 1.0)
 
     lowz = jnp.minimum(jnp.where(wz0 > 0, iz0, D), jnp.where(wz1 > 0, iz1, D))
     zb = jnp.clip(jnp.min(lowz, axis=1), 0, max(D - band, 0)).astype(jnp.int32)
@@ -96,8 +104,11 @@ def _precompute(ndc, D: int, Hv: int, Wv: int, band: int):
     def subl(*a):
         return jnp.stack([v.reshape(S, NC, LANES) for v in a], axis=-1)
 
-    return (lanes(iy0, iy1), lanes(wy0, wy1),
+    base = (lanes(iy0, iy1), lanes(wy0, wy1),
             subl(ix0, ix1, iz0, iz1), subl(wx0, wx1, wz0, wz1), zb, ok)
+    if not derivs:
+        return base
+    return base + (lanes(dwy0, dwy1), subl(dwx0, dwx1, dwz0, dwz1))
 
 
 # ---------------------------------------------------------------------------
@@ -141,31 +152,42 @@ def _selc(Wv: int, C: int):
     return (lane_c == chan).astype(jnp.float32)
 
 
-def _fwd_kernel(zb_ref, *refs, band, Hv, Wv, C):
+def _mm_dtype_prec(approx: bool):
+    """MXU operand dtype/precision: 1-pass bf16 when the volume is bf16
+    upstream (no information to preserve), 6-pass exact f32 otherwise."""
+    if approx:
+        return jnp.bfloat16, jax.lax.Precision.DEFAULT
+    return jnp.float32, jax.lax.Precision.HIGHEST
+
+
+def _fwd_kernel(zb_ref, *refs, band, Hv, Wv, C, approx):
     slice_refs = refs[:band]
     ints_l, flts_l, ints_s, flts_s = refs[band:band + 4]
     out_ref = refs[band + 4]
     s = pl.program_id(0)
+    dt, prec = _mm_dtype_prec(approx)
     Y2, Xexp, wz_cols = _two_hots(ints_l[...], flts_l[...], ints_s[...],
                                   flts_s[...], zb_ref[s], band, Hv, Wv, C)
-    selc = _selc(Wv, C)
+    Y2 = Y2.astype(dt)
+    selc = _selc(Wv, C).astype(dt)
     acc = jnp.zeros((LANES, C), jnp.float32)
     for j in range(band):
         mid = jax.lax.dot_general(
-            Y2, slice_refs[j][0], (((0,), (0,)), ((), ())),
+            Y2, slice_refs[j][0].astype(dt), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)         # [128, Wv·C]
+            precision=prec)                              # [128, Wv·C]
         a = mid * Xexp * wz_cols[j]
-        acc = acc + jnp.dot(a, selc, preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+        acc = acc + jnp.dot(a.astype(dt), selc, preferred_element_type=jnp.float32,
+                            precision=prec)
     out_ref[0, 0] = acc
 
 
-def _bwd_kernel(zb_ref, *refs, band, Hv, Wv, C):
+def _bwd_kernel(zb_ref, *refs, band, Hv, Wv, C, approx):
     g_ref, ints_l, flts_l, ints_s, flts_s = refs[:5]
     out_ref = refs[5]
     s = pl.program_id(0)
     c = pl.program_id(1)
+    dt, prec = _mm_dtype_prec(approx)
 
     @pl.when(c == 0)
     def _():
@@ -173,18 +195,57 @@ def _bwd_kernel(zb_ref, *refs, band, Hv, Wv, C):
 
     Y2, Xexp, wz_cols = _two_hots(ints_l[...], flts_l[...], ints_s[...],
                                   flts_s[...], zb_ref[s], band, Hv, Wv, C)
-    selc_t = _selc(Wv, C).T                              # [C, Wv·C]
-    g = g_ref[0, 0].astype(jnp.float32)                  # [128, C]
+    selc_t = _selc(Wv, C).T.astype(dt)                   # [C, Wv·C]
+    g = g_ref[0, 0].astype(dt)                           # [128, C]
     d_a = jnp.dot(g, selc_t, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)   # [128, Wv·C]
+                  precision=prec)                        # [128, Wv·C]
     for j in range(band):
         d_mid = d_a * Xexp * wz_cols[j]
         d_slice = jax.lax.dot_general(
-            Y2, d_mid, (((1,), (0,)), ((), ())),
+            Y2.astype(dt), d_mid.astype(dt), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)         # [Hv, Wv·C]
+            precision=prec)                              # [Hv, Wv·C]
         cur = out_ref[0, :, j * Wv * C:(j + 1) * Wv * C]
         out_ref[0, :, j * Wv * C:(j + 1) * Wv * C] = cur + d_slice
+
+
+def _coords_kernel(zb_ref, *refs, band, Hv, Wv, C, approx):
+    """d loss/d ndc for one (sample, chunk): three banded contractions.
+
+    d out/d x swaps Xexp for its derivative two-hot (applied AFTER the shared
+    Y2ᵀ@vol matmul); d/d z swaps the wz column; only d/d y needs a second
+    matmul (dY2ᵀ@vol). Output rows: (dx, dy, dz, 0…) [LANES, 8].
+    """
+    slice_refs = refs[:band]
+    (g_ref, ints_l, flts_l, dflts_l, ints_s, flts_s, dflts_s) = \
+        refs[band:band + 7]
+    out_ref = refs[band + 7]
+    s = pl.program_id(0)
+    dt, prec = _mm_dtype_prec(approx)
+    Y2, Xexp, wz_cols = _two_hots(ints_l[...], flts_l[...], ints_s[...],
+                                  flts_s[...], zb_ref[s], band, Hv, Wv, C)
+    dY2, dXexp, dwz_cols = _two_hots(ints_l[...], dflts_l[...], ints_s[...],
+                                     dflts_s[...], zb_ref[s], band, Hv, Wv, C)
+    selc_t = _selc(Wv, C).T.astype(dt)
+    g = g_ref[0, 0].astype(dt)                           # [128, C]
+    G = jnp.dot(g, selc_t, preferred_element_type=jnp.float32,
+                precision=prec)                          # [128, Wv·C]
+    dx = jnp.zeros((LANES, 1), jnp.float32)
+    dy = jnp.zeros((LANES, 1), jnp.float32)
+    dz = jnp.zeros((LANES, 1), jnp.float32)
+    for j in range(band):
+        mid = jax.lax.dot_general(
+            Y2.astype(dt), slice_refs[j][0].astype(dt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        dmid = jax.lax.dot_general(
+            dY2.astype(dt), slice_refs[j][0].astype(dt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        t1 = mid * G
+        dx = dx + jnp.sum(t1 * dXexp, axis=1, keepdims=True) * wz_cols[j]
+        dz = dz + jnp.sum(t1 * Xexp, axis=1, keepdims=True) * dwz_cols[j]
+        dy = dy + jnp.sum(dmid * G * Xexp, axis=1, keepdims=True) * wz_cols[j]
+    out_ref[0, 0] = jnp.concatenate(
+        [dx, dy, dz, jnp.zeros((LANES, 5), jnp.float32)], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -196,8 +257,9 @@ def _interp() -> bool:
 
 
 def _fwd_pallas(volR, ints_l, flts_l, ints_s, flts_s, zb, dims):
-    D, Hv, Wv, C, band, S, NC = dims
-    kern = functools.partial(_fwd_kernel, band=band, Hv=Hv, Wv=Wv, C=C)
+    D, Hv, Wv, C, band, S, NC, approx = dims[:8]
+    kern = functools.partial(_fwd_kernel, band=band, Hv=Hv, Wv=Wv, C=C,
+                             approx=approx)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(S, NC),
@@ -222,8 +284,9 @@ def _fwd_pallas(volR, ints_l, flts_l, ints_s, flts_s, zb, dims):
 
 
 def _bwd_pallas(g, ints_l, flts_l, ints_s, flts_s, zb, dims):
-    D, Hv, Wv, C, band, S, NC = dims
-    kern = functools.partial(_bwd_kernel, band=band, Hv=Hv, Wv=Wv, C=C)
+    D, Hv, Wv, C, band, S, NC, approx = dims[:8]
+    kern = functools.partial(_bwd_kernel, band=band, Hv=Hv, Wv=Wv, C=C,
+                             approx=approx)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(S, NC),
@@ -250,6 +313,39 @@ def _bwd_pallas(g, ints_l, flts_l, ints_s, flts_s, zb, dims):
     return d_volR.at[idx].add(mini.reshape(S * band, Hv, Wv * C))
 
 
+def _coords_pallas(g, volR, ints_l, flts_l, dflts_l, ints_s, flts_s, dflts_s,
+                   zb, dims):
+    """d loss/d (scaled, padded) coords: [S, NC, LANES, 3]."""
+    D, Hv, Wv, C, band, S, NC, approx = dims[:8]
+    kern = functools.partial(_coords_kernel, band=band, Hv=Hv, Wv=Wv, C=C,
+                             approx=approx)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(S, NC),
+        in_specs=[
+            *[pl.BlockSpec((1, Hv, Wv * C),
+                           functools.partial(
+                               lambda s, c, zb_ref, j=j: (zb_ref[s] + j, 0, 0)))
+              for j in range(band)],
+            pl.BlockSpec((1, 1, LANES, C), lambda s, c, zb_ref: (s, c, 0, 0)),
+            pl.BlockSpec((1, 1, 2, LANES), lambda s, c, zb_ref: (s, c, 0, 0)),
+            pl.BlockSpec((1, 1, 2, LANES), lambda s, c, zb_ref: (s, c, 0, 0)),
+            pl.BlockSpec((1, 1, 2, LANES), lambda s, c, zb_ref: (s, c, 0, 0)),
+            pl.BlockSpec((1, 1, LANES, 4), lambda s, c, zb_ref: (s, c, 0, 0)),
+            pl.BlockSpec((1, 1, LANES, 4), lambda s, c, zb_ref: (s, c, 0, 0)),
+            pl.BlockSpec((1, 1, LANES, 4), lambda s, c, zb_ref: (s, c, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, LANES, 8),
+                               lambda s, c, zb_ref: (s, c, 0, 0)),
+    )
+    out = pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S, NC, LANES, 8), jnp.float32),
+        interpret=_interp(),
+    )(zb, *([volR] * band), g, ints_l, flts_l, dflts_l, ints_s, flts_s, dflts_s)
+    return out[..., :3]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _core(dims, volR, ints_l, flts_l, ints_s, flts_s, zb):
     return _fwd_pallas(volR, ints_l, flts_l, ints_s, flts_s, zb, dims)
@@ -273,7 +369,7 @@ _core.defvjp(_core_fwd, _core_bwd)
 # public API
 # ---------------------------------------------------------------------------
 
-def sample_volume_zbanded(vol, ndc, band: int = 3):
+def sample_volume_zbanded(vol, ndc, band: int = 3, approx=None):
     """Trilinear volume sampling for z-banded points (unwarped ray samples).
 
     Exactly ``grid_sample_3d(vol, ndc*2-1, "zeros")`` when every z tap of sample
@@ -283,7 +379,7 @@ def sample_volume_zbanded(vol, ndc, band: int = 3):
     XLA path, so results are ALWAYS correct.
 
     Coordinates are stop_gradient'ed: use only where ndc carries no learnable
-    inputs (NOT for scene-flow-warped points).
+    inputs (use ``sample_volume_zbanded_diff`` for scene-flow-warped points).
 
     Args:
         vol: [D, Hv, Wv, C]; ndc: [R, S, 3] in [0, 1].
@@ -295,7 +391,9 @@ def sample_volume_zbanded(vol, ndc, band: int = 3):
     band = min(band, D)
     ints_l, flts_l, ints_s, flts_s, zb, ok = _precompute(ndc, D, Hv, Wv, band)
     NC = -(-R // LANES)
-    dims = (D, Hv, Wv, C, band, S, NC)
+    if approx is None:
+        approx = vol.dtype == jnp.bfloat16
+    dims = (D, Hv, Wv, C, band, S, NC, bool(approx))
 
     def kern_path(vol):
         volR = vol.astype(jnp.float32).reshape(D, Hv, Wv * C)
@@ -307,3 +405,71 @@ def sample_volume_zbanded(vol, ndc, band: int = 3):
                               padding_mode="zeros").astype(jnp.float32)
 
     return jax.lax.cond(ok, kern_path, xla_path, vol)
+
+
+# ---------------------------------------------------------------------------
+# coordinate-differentiable variant (scene-flow-warped sample sites)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _core_d(dims, volR, ndc):
+    out, _ = _core_d_fwd(dims, volR, ndc)
+    return out
+
+
+def _core_d_fwd(dims, volR, ndc):
+    D, Hv, Wv, C, band, S, NC, approx = dims[:8]
+    (ints_l, flts_l, ints_s, flts_s, zb, _ok,
+     dflts_l, dflts_s) = _precompute(ndc, D, Hv, Wv, band, derivs=True)
+    out = _fwd_pallas(volR, ints_l, flts_l, ints_s, flts_s, zb, dims)
+    res = (volR, ints_l, flts_l, dflts_l, ints_s, flts_s, dflts_s, zb)
+    return out, res
+
+
+def _core_d_bwd(dims, res, g):
+    D, Hv, Wv, C, band, S, NC, approx, R = dims
+    volR, ints_l, flts_l, dflts_l, ints_s, flts_s, dflts_s, zb = res
+    d_volR = _bwd_pallas(g, ints_l, flts_l, ints_s, flts_s, zb, dims)
+    d_sc = _coords_pallas(g, volR, ints_l, flts_l, dflts_l, ints_s, flts_s,
+                          dflts_s, zb, dims)                # [S, NC, LANES, 3]
+    d_ndc = jnp.moveaxis(d_sc.reshape(S, NC * LANES, 3), 0, 1)[:R]
+    return d_volR, d_ndc
+
+
+_core_d.defvjp(_core_d_fwd, _core_d_bwd)
+
+
+def sample_volume_zbanded_diff(vol, ndc, band: int = 6, approx=None):
+    """Like ``sample_volume_zbanded`` but differentiable w.r.t. ``ndc`` too —
+    for scene-flow-WARPED sample sites (renderer.py:462-507), whose coordinates
+    carry flow gradients. The backward computes d/d vol with the adjoint kernel
+    and d/d ndc with three banded contractions that share the Y2ᵀ@vol matmul.
+
+    Flow displacements widen the per-sample z spread, so the default band is
+    wider; the runtime ``ok`` predicate still lax.cond's to the exact XLA path
+    whenever the band assumption is violated (e.g. large trained flows) —
+    results are ALWAYS correct, the kernel is purely a fast path.
+    """
+    D, Hv, Wv, C = vol.shape
+    R, S, _ = ndc.shape
+    band = min(band, D)
+    # ok-check on value-level taps (cheap, fused); taps are recomputed inside
+    # the custom_vjp so the vjp closes over ndc itself
+    *_unused, zb0, ok = _precompute(jax.lax.stop_gradient(ndc), D, Hv, Wv, band)
+    NC = -(-R // LANES)
+    if approx is None:
+        approx = vol.dtype == jnp.bfloat16
+    dims = (D, Hv, Wv, C, band, S, NC, bool(approx), R)
+
+    def kern_path(operands):
+        vol, ndc = operands
+        volR = vol.astype(jnp.float32).reshape(D, Hv, Wv * C)
+        out = _core_d(dims, volR, ndc)
+        return jnp.moveaxis(out.reshape(S, NC * LANES, C), 0, 1)[:R]
+
+    def xla_path(operands):
+        vol, ndc = operands
+        return grid_sample_3d(vol, ndc * 2.0 - 1.0,
+                              padding_mode="zeros").astype(jnp.float32)
+
+    return jax.lax.cond(ok, kern_path, xla_path, (vol, ndc))

@@ -222,13 +222,24 @@ class ZestSystem:
         cfg = self.cfg
 
         def sample_vol(vol, ndc, banded: bool):
-            """Volume lookup: Pallas z-banded kernel for unwarped sample sites
-            (self-guarded — falls back to XLA at runtime if the band assumption
-            is violated); plain XLA for scene-flow-warped sites (their ndc
-            carries flow gradients, which the kernel stop-grads)."""
-            if cfg.use_pallas_trilinear and banded:
-                from .kernels.trilinear import sample_volume_zbanded
-                return sample_volume_zbanded(vol, ndc, band=cfg.z_band)
+            """Volume lookup: Pallas z-banded kernel for unwarped sample sites;
+            the coordinate-differentiable variant (wider band) for scene-flow-
+            warped sites whose ndc carries flow gradients. Both are self-guarded
+            — they lax.cond to the exact XLA path at runtime if the band
+            assumption is violated."""
+            if cfg.use_pallas_trilinear:
+                from .kernels.trilinear import (sample_volume_zbanded,
+                                                sample_volume_zbanded_diff)
+                # the volume array is f32 (BN epilogue) but under --precision 16
+                # its information content is bf16 (conv stack computed in bf16)
+                # → run the kernel MXU matmuls 1-pass bf16, 6-pass exact else
+                approx = cfg.precision == 16 or cfg.bf16
+                if banded:
+                    return sample_volume_zbanded(vol, ndc, band=cfg.z_band,
+                                                 approx=approx)
+                return sample_volume_zbanded_diff(vol, ndc,
+                                                  band=cfg.z_band_warped,
+                                                  approx=approx)
             return render.sample_volume_features(vol, ndc)
 
         def static_fn(p, f, v):
