@@ -138,6 +138,9 @@ class ZestConfig:
     # coordinate-differentiable kernel uses a wider band; runtime-guarded with
     # an exact XLA fallback when trained flows outgrow it
     z_band_warped: int = 8
+    # fused NeRF-MLP Pallas kernel (trunk + heads resident in VMEM); applies
+    # to v0 fields with viewdirs + volume conditioning, Flax otherwise
+    use_fused_mlp: bool = True
     render_path: str = "auto"  # wander | spiral | spheric (render_spiral.py)
     # rays per traced eval iteration. The reference's --chunk (1024) is a CUDA
     # memory knob; one TPU chip comfortably renders far larger batches per pass,

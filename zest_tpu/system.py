@@ -242,13 +242,23 @@ class ZestSystem:
                                                   approx=approx)
             return render.sample_volume_features(vol, ndc)
 
-        def static_fn(p, f, v):
-            return self.nerf_static.apply(params["nerf_static"], p, f, v)
+        def field_fn(field, field_params):
+            """Field evaluator: fused Pallas kernel when the topology maps onto
+            it (v0 + viewdirs + volume conditioning), Flax module otherwise."""
+            from .kernels.fused_mlp import fused_nerf_apply, supports_fused
+            if cfg.use_fused_mlp and supports_fused(field):
+                approx = cfg.precision == 16 or cfg.bf16
 
+                def fn(p, f, v):
+                    return fused_nerf_apply(field, field_params, p, f, v,
+                                            approx=approx)
+                return fn
+            return lambda p, f, v: field.apply(field_params, p, f, v)
+
+        static_fn = field_fn(self.nerf_static, params["nerf_static"])
         dynamic_fn = None
         if self.nerf_dynamic is not None:
-            def dynamic_fn(p, f, v):
-                return self.nerf_dynamic.apply(params["nerf_dynamic"], p, f, v)
+            dynamic_fn = field_fn(self.nerf_dynamic, params["nerf_dynamic"])
 
         static_feats = None
         if static_vol is not None:
