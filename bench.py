@@ -48,6 +48,10 @@ def main():
                           use_mvs=True, use_mvs_dy=True)
     batch = {k: jnp.asarray(v) for k, v in ds[3].items()}
 
+    # the exact host-side warp-band preflight, as run by the real NSFF loader
+    # at dataset init (data/nsff.py:240) — static kernel band per dataset
+    cfg = cfg.replace(warp_band=ds.warp_band_bound(pad=cfg.pad))
+
     system = ZestSystem(cfg)
     params = system.init_params(jax.random.PRNGKey(0), batch)
     opt = system.make_optimizer(steps_per_epoch=24)

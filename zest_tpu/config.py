@@ -137,7 +137,7 @@ class ZestConfig:
     # scene-flow-warped sites: flows widen the per-sample z spread, so the
     # coordinate-differentiable kernel uses a wider band; runtime-guarded with
     # an exact XLA fallback when trained flows outgrow it
-    z_band_warped: int = 8
+    z_band_warped: int = 6
     # fused NeRF-MLP Pallas kernel (trunk + heads resident in VMEM); applies
     # to v0 fields with viewdirs + volume conditioning, Flax otherwise
     use_fused_mlp: bool = True

@@ -68,6 +68,21 @@ class SyntheticDataset:
         pm[:3, :4] = intr @ w2c[:3, :4]
         return pm
 
+    def warp_band_bound(self, pad=24):
+        """Exact host-side Pallas warp band bound over every (keyframe ref,
+        view) pair — same preflight the NSFF loader runs (data/nsff.py:240)."""
+        from ..kernels.plane_sweep import warp_band_bound_host
+        ref_inv = np.linalg.inv(self._proj_mat(
+            np.linalg.inv(self._pose(self.key_frames[0]))))
+        worst = 1
+        for f in range(self.num_frames):
+            pm = self._proj_mat(np.linalg.inv(self._pose(f)))
+            rel = (pm @ ref_inv)[:3]
+            worst = max(worst, warp_band_bound_host(
+                rel, 2.0, 6.0,   # fixed synthetic near/far (see __getitem__)
+                self.H // 4, self.W // 4, pad=pad))
+        return worst
+
     def __getitem__(self, idx):
         target = idx % self.num_frames
         nf = self.num_frames

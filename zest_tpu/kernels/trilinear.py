@@ -359,7 +359,9 @@ def _core_fwd(dims, volR, ints_l, flts_l, ints_s, flts_s, zb):
 def _core_bwd(dims, res, g):
     ints_l, flts_l, ints_s, flts_s, zb = res
     d_volR = _bwd_pallas(g, ints_l, flts_l, ints_s, flts_s, zb, dims)
-    return d_volR, None, None, None, None, None
+    # primal volR dtype is bf16 exactly in approx mode (see kern_path)
+    vol_dt = jnp.bfloat16 if dims[7] else jnp.float32
+    return d_volR.astype(vol_dt), None, None, None, None, None
 
 
 _core.defvjp(_core_fwd, _core_bwd)
@@ -396,7 +398,10 @@ def sample_volume_zbanded(vol, ndc, band: int = 3, approx=None):
     dims = (D, Hv, Wv, C, band, S, NC, bool(approx))
 
     def kern_path(vol):
-        volR = vol.astype(jnp.float32).reshape(D, Hv, Wv * C)
+        # approx mode streams the volume in bf16 — halves the per-slice VMEM
+        # double-buffers and HBM traffic; the matmuls cast to bf16 anyway
+        volR = vol.astype(jnp.bfloat16 if approx else jnp.float32) \
+            .reshape(D, Hv, Wv * C)
         out = _core(dims, volR, ints_l, flts_l, ints_s, flts_s, zb)
         return jnp.moveaxis(out.reshape(S, NC * LANES, C), 0, 1)[:R]
 
@@ -433,7 +438,7 @@ def _core_d_bwd(dims, res, g):
     d_sc = _coords_pallas(g, volR, ints_l, flts_l, dflts_l, ints_s, flts_s,
                           dflts_s, zb, dims)                # [S, NC, LANES, 3]
     d_ndc = jnp.moveaxis(d_sc.reshape(S, NC * LANES, 3), 0, 1)[:R]
-    return d_volR, d_ndc
+    return d_volR.astype(volR.dtype), d_ndc
 
 
 _core_d.defvjp(_core_d_fwd, _core_d_bwd)
@@ -463,7 +468,8 @@ def sample_volume_zbanded_diff(vol, ndc, band: int = 6, approx=None):
 
     def kern_path(operands):
         vol, ndc = operands
-        volR = vol.astype(jnp.float32).reshape(D, Hv, Wv * C)
+        volR = vol.astype(jnp.bfloat16 if approx else jnp.float32) \
+            .reshape(D, Hv, Wv * C)
         out = _core_d(dims, volR, ndc)
         return jnp.moveaxis(out.reshape(S, NC * LANES, C), 0, 1)[:R]
 

@@ -19,6 +19,41 @@ from .feature_net import BatchNormAct
 from .init import torch_conv_kernel_init
 
 
+class Conv3dZ2D(nn.Module):
+    """3D conv (k=3, 'SAME') as 3 z-shifted 2D convs with D folded into batch.
+
+    XLA's TPU 3D convolutions choose channels-minor layouts; with the U-Net's
+    tiny channel counts (8-64) that wastes up to 94% of the vector lanes —
+    the 48→8 conv0 ran at ~1.6 TFLOP/s (round-2 profile). Folding the 128-deep
+    D axis into the conv batch gives XLA a large batch to tile over: measured
+    332→13 ms fwd / 50→23 ms fwd+bwd for conv0 shapes on a v5e. Exactly
+    equivalent (the z taps become shifted batch slices; stride-2 z becomes a
+    strided slice), same param tree as nn.Conv ("kernel", [3,3,3,in,out]).
+    """
+    out_ch: int
+    stride: int = 1
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        N, D, H, W, C = x.shape
+        kernel = self.param("kernel", torch_conv_kernel_init,
+                            (3, 3, 3, C, self.out_ch)).astype(self.dtype)
+        s = self.stride
+        d_out = -(-D // s)
+        xb = x.reshape(N * D, H, W, C)          # N == 1 throughout
+        xp = jnp.pad(xb, ((1, 1), (0, 0), (0, 0), (0, 0)))
+        out = None
+        for dz in range(3):
+            xs = jax.lax.slice(xp, (dz, 0, 0, 0), (dz + (d_out - 1) * s + 1,
+                                                   H, W, C), (s, 1, 1, 1))
+            o = jax.lax.conv_general_dilated(
+                xs, kernel[dz], (s, s), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            out = o if out is None else out + o
+        return out.reshape((N, d_out) + out.shape[1:])
+
+
 class ConvBnReLU3D(nn.Module):
     """Conv3d(bias=False) + BN + leaky_relu. Mirrors networks.py:948-959."""
     out_ch: int
@@ -28,10 +63,8 @@ class ConvBnReLU3D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        k = self.kernel
-        x = nn.Conv(self.out_ch, (k, k, k), strides=self.stride, padding=k // 2,
-                    use_bias=False, dtype=self.dtype,
-                    kernel_init=torch_conv_kernel_init, name="conv")(x)
+        x = Conv3dZ2D(self.out_ch, stride=self.stride, dtype=self.dtype,
+                      name="conv")(x.astype(self.dtype))
         return BatchNormAct(name="bn")(x)
 
 
@@ -45,16 +78,31 @@ class _UpConvBn(nn.Module):
         # exact torch ConvTranspose3d(k=3, s=2, p=1, output_padding=1) semantics:
         # lhs-dilated conv with padding (k-1-p, k-1-p+op) = (1, 2); the kernel is
         # stored pre-flipped in [kd, kh, kw, in, out] layout so torch weights
-        # convert by flip(spatial) + transpose(2,3,4,0,1)
-        in_ch = x.shape[-1]
+        # convert by flip(spatial) + transpose(2,3,4,0,1).
+        #
+        # The z (depth) dilation is phase-split instead of materialized: with
+        # z-dilated input xdil[2i]=x[i] and padding (1,2), output plane p draws
+        # from taps j=p+dz where only odd j hit data → even planes see only
+        # k[1], odd planes k[0] and k[2] (shifted). Folding D into the conv
+        # batch this becomes three 2D lhs-dilated convs + an interleave —
+        # avoiding XLA's slow channels-minor 3D conv path (see Conv3dZ2D).
+        N, D, H, W, C = x.shape
         kernel = self.param("deconv_kernel", torch_conv_kernel_init,
-                            (3, 3, 3, in_ch, self.out_ch)).astype(self.dtype)
-        x = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel, window_strides=(1, 1, 1),
-            padding=[(1, 2)] * 3,
-            lhs_dilation=(2, 2, 2),
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-        return BatchNormAct(name="bn")(x)
+                            (3, 3, 3, C, self.out_ch)).astype(self.dtype)
+        xb = x.astype(self.dtype).reshape(N * D, H, W, C)
+
+        def up2d(xs, k2):
+            return jax.lax.conv_general_dilated(
+                xs, k2, window_strides=(1, 1), padding=[(1, 2)] * 2,
+                lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        out_even = up2d(xb, kernel[1])                       # plane 2i ← x[i]
+        x_next = jnp.concatenate([xb[1:], jnp.zeros_like(xb[:1])], axis=0)
+        out_odd = up2d(xb, kernel[0]) + up2d(x_next, kernel[2])  # plane 2i+1
+        out = jnp.stack([out_even, out_odd], axis=1)         # [D, 2, 2H, 2W, C']
+        out = out.reshape((N, 2 * D) + out.shape[2:])
+        return BatchNormAct(name="bn")(out)
 
 
 class CostRegNet(nn.Module):
