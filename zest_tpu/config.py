@@ -61,6 +61,11 @@ class ZestConfig:
     train_video: bool = False
     use_keyframes: bool = False
     num_keyframes: int = 10
+    # neural3Dvideo keyframe-only training. The reference forwards
+    # hparams.key_frames to the dataset (train.py:207) but never DEFINES the
+    # flag in opt.py — that path crashes with AttributeError there; defined
+    # here (default off) so the dataset kwarg actually works.
+    key_frames: bool = False
     frame_jump: int = 1
     train_sceneflow: bool = False
     finetune_scene: Optional[str] = None

@@ -38,6 +38,10 @@ def build_datasets(cfg: ZestConfig, splits=("train", "val")):
             kwargs["max_len"] = -1 if split != "val" else 10
         if cfg.dataset_name == "llff":
             kwargs["depth_path"] = cfg.depth_path if split == "train" else None
+        if cfg.dataset_name == "neural3dvideo":
+            # train.py:207 (the reference reads an undefined hparam here — see
+            # config.key_frames)
+            kwargs["train_key_frames"] = cfg.key_frames
         if cfg.dataset_name in ("nsff", "synthetic"):
             kwargs.update(num_keyframes=cfg.num_keyframes, use_mvs=cfg.use_mvs,
                           use_mvs_dy=cfg.use_mvs_dy, img_h=cfg.img_h,
@@ -204,12 +208,21 @@ def run_training(cfg: ZestConfig, max_steps: Optional[int] = None,
     steps_per_epoch = cfg.steps_per_epoch or len(train_ds)
 
     # Pallas warp-kernel preflight: the static band must cover every pose pair
-    # in the dataset (kernels/plane_sweep.py); bump it from the host-side bound
+    # in the dataset (kernels/plane_sweep.py). The host-side bound is EXACT, so
+    # set the band to it — lowering from the conservative default is a pure
+    # speedup (kernel cost is linear in the band), raising is a correctness fix
     if cfg.use_pallas_warp and hasattr(train_ds, "warp_band_bound"):
-        bound = train_ds.warp_band_bound(pad=cfg.pad)
-        if bound > cfg.warp_band:
-            print(f"warp_band {cfg.warp_band} < required {bound}; bumping")
-            cfg = cfg.replace(warp_band=int(bound))
+        bound = int(train_ds.warp_band_bound(pad=cfg.pad))
+        if bound != cfg.warp_band:
+            print(f"warp_band preflight: {cfg.warp_band} -> exact bound {bound}")
+            cfg = cfg.replace(warp_band=bound)
+
+    if cfg.N_importance > 0:
+        import warnings
+        # the reference builds nerf_fine for N_importance > 0 but its renderer
+        # never consumes it (train.py:143-148) — flag accepted, no-op, loudly
+        warnings.warn("N_importance > 0 builds an unused fine network in the "
+                      "reference and is a no-op here", stacklevel=2)
 
     save_dir = Path(cfg.save_dir) / cfg.expname
     ckpt = CheckpointManager(save_dir / "ckpts", cfg)
