@@ -306,7 +306,9 @@ def homo_warp_fast(src_feat, proj_mat, depth_values, pad: int = 0,
             f"the XLA warp (slower). The Pallas kernel needs W/4 == 128 "
             f"(e.g. 288x512 inputs).", stacklevel=2)
         return homo_warp_xla(src_feat, proj_mat, depth_values, pad=pad)
-    band = min(band, h)
+    # sublane-align the band: a size-3 dynamic slice measured 2.3x SLOWER than
+    # size-16 (Mosaic sub-tile masking); multiples of 8 keep slices tile-shaped
+    band = min(_round_up(max(band, 1), 8), h)
     grid = homography_grid(proj_mat, depth_values, (h, w), pad=pad)
     D, Hp, Wp, _ = grid.shape
 
