@@ -475,7 +475,10 @@ def sample_volume_zbanded_diff(vol, ndc, band: int = 6, approx=None):
 
     def xla_path(operands):
         vol, ndc = operands
-        return grid_sample_3d(vol, ndc * 2.0 - 1.0,
+        # approx: gather AND the autodiff scatter-add (d_vol) run in bf16 —
+        # measured 2.4x faster scatter; matches the kernel path's bf16 matmuls
+        v = vol.astype(jnp.bfloat16) if approx else vol
+        return grid_sample_3d(v, ndc * 2.0 - 1.0,
                               padding_mode="zeros").astype(jnp.float32)
 
     return jax.lax.cond(ok, kern_path, xla_path, (vol, ndc))
