@@ -135,12 +135,14 @@ def sample_volume_features(volume, ndc):
     return grid_sample_3d(volume, ndc * 2.0 - 1.0, padding_mode="zeros")
 
 
-def build_color_features(pts_world, images, w2cs, intrinsics, with_mask: bool = True):
+def build_color_features(pts_world, images, w2cs, intrinsics,
+                         with_mask: bool = True, approx: bool = False):
     """Per-source-view RGB (+ in-bounds mask) sampled at ray points.
 
     Mirrors utils.py:461-505 (build_color_volume): project points into each source view
     (no pad), bilinear-sample the *unnormalized* image with border padding, append the
-    strict in-bounds mask.
+    strict in-bounds mask. ``approx`` gathers the images in bf16 (halved gather
+    traffic; the consuming field conditioning is bf16 under --precision 16).
 
     Args:
         pts_world: [R, S, 3]; images [V, H, W, 3]; w2cs [V,4,4]; intrinsics [V,3,3].
@@ -148,12 +150,15 @@ def build_color_features(pts_world, images, w2cs, intrinsics, with_mask: bool = 
     """
     V, H, W, _ = images.shape
     inv_scale = jnp.array([W - 1, H - 1], jnp.float32)
+    if approx:
+        images = images.astype(jnp.bfloat16)
 
     def per_view(img, w2c, intr):
         ndc = geometry.world_to_ndc(pts_world, w2c, intr, inv_scale,
                                     near=2.0, far=6.0, pad=0)
         grid = ndc[..., :2] * 2.0 - 1.0
         data = grid_sample_2d(img, grid, padding_mode="border")
+        data = data.astype(jnp.float32)
         if with_mask:
             inside = (grid > -1.0) & (grid < 1.0)
             mask = (inside[..., 0] & inside[..., 1]).astype(data.dtype)

@@ -221,6 +221,8 @@ class ZestSystem:
                        imgs_un, nb_imgs_un) -> render.RenderModels:
         cfg = self.cfg
 
+        approx_gathers = cfg.precision == 16 or cfg.bf16
+
         def sample_vol(vol, ndc, banded: bool):
             """Volume lookup: Pallas z-banded kernel for unwarped sample sites;
             the coordinate-differentiable variant (wider band) for scene-flow-
@@ -283,7 +285,8 @@ class ZestSystem:
                     # first V entries of the full pose dict, utils.py:482-484)
                     col = render.build_color_features(pts_world, src_imgs,
                                                       batch["w2cs"][:-1],
-                                                      batch["intrinsics"][:-1])
+                                                      batch["intrinsics"][:-1],
+                                                      approx=approx_gathers)
                     return jnp.concatenate([vol, col], -1)
 
         dynamic_vol_fn = dynamic_col_fn = None
@@ -294,7 +297,8 @@ class ZestSystem:
             def dynamic_col_fn(pts_world):
                 return render.build_color_features(pts_world, nb_imgs_un,
                                                    batch["nb_w2cs"],
-                                                   batch["nb_intr"])
+                                                   batch["nb_intr"],
+                                                   approx=approx_gathers)
 
         # multires 0 == identity embedding (positional_encoding early-returns),
         # honoring --pts_embedder/--dir_embedder=False without a shape mismatch
