@@ -72,8 +72,9 @@ def main():
     n_steps = 10
     t0 = time.perf_counter()
     for i in range(n_steps):
-        rng, k = jax.random.split(rng)
-        state, logs = step_fn(state, batch, k, phase)
+        # per-step key derives from (rng, state.step) on-device — no host
+        # key-split dispatch per step (tunnel round trips)
+        state, logs = step_fn(state, batch, rng, phase)
     float(logs["train_loss"])   # forces the whole n_steps chain
     dt = time.perf_counter() - t0
 

@@ -50,8 +50,7 @@ def capture(outdir):
 
     with jax.profiler.trace(outdir):
         for _ in range(3):
-            rng, k = jax.random.split(rng)
-            state, logs = step_fn(state, batch, k, phase)
+            state, logs = step_fn(state, batch, rng, phase)
         float(logs["train_loss"])
     print("trace written to", outdir)
 

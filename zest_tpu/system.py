@@ -451,6 +451,12 @@ class ZestSystem:
 
         @functools.partial(jax.jit, static_argnames=("phase",))
         def train_step(state: TrainState, batch, rng, phase: Phase):
+            # per-step randomness derives from (base key, step) INSIDE the jit:
+            # callers pass one constant key for the whole run — no per-step
+            # host→device key-split dispatch (each host-side op costs a tunnel
+            # round trip)
+            rng = jax.random.fold_in(rng, state.step)
+
             def loss_fn(params):
                 ret, rays, aux = self.forward_train(params, batch, rng, phase,
                                                     state.step)

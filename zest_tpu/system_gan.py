@@ -127,6 +127,9 @@ class GanSystem:
 
         @functools.partial(jax.jit, static_argnames=("phase",))
         def train_step(state: GanTrainState, batch, rng, phase: Phase):
+            # derive per-step randomness inside the jit (see system.py): the
+            # caller passes one constant base key for the whole run
+            rng = jax.random.fold_in(rng, state.step)
             k_fwd, k_flip, k_flip2 = jax.random.split(rng, 3)
             logs = {}
 

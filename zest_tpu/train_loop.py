@@ -291,8 +291,8 @@ def run_training(cfg: ZestConfig, max_steps: Optional[int] = None,
             if host_step >= total_steps:
                 break
             phase = phase_for_step(cfg, host_step)
-            rng, k = jax.random.split(rng)
-            state, logs = step_fn(state, batch, k, phase)
+            # the step folds its counter into this constant base key on-device
+            state, logs = step_fn(state, batch, rng, phase)
             host_step += 1
             if host_step % cfg.log_every == 0:
                 dt = time.perf_counter() - t_last
