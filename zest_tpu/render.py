@@ -150,22 +150,30 @@ def build_color_features(pts_world, images, w2cs, intrinsics,
     """
     V, H, W, _ = images.shape
     inv_scale = jnp.array([W - 1, H - 1], jnp.float32)
-    if approx:
-        images = images.astype(jnp.bfloat16)
+    R, S, _ = pts_world.shape
 
     def per_view(img, w2c, intr):
         ndc = geometry.world_to_ndc(pts_world, w2c, intr, inv_scale,
                                     near=2.0, far=6.0, pad=0)
         grid = ndc[..., :2] * 2.0 - 1.0
-        data = grid_sample_2d(img, grid, padding_mode="border")
-        data = data.astype(jnp.float32)
+        # y-banded Pallas gather (kernels/color_gather.py): chunks are laid out
+        # sample-major so 128 consecutive points share one depth sample — for
+        # eval's contiguous-pixel batches they span only a few image rows.
+        # Runtime-checked; exact XLA fallback for random-pixel train batches.
+        from .kernels.color_gather import gather_colors_banded
+        xy = (ndc[..., :2] * inv_scale).transpose(1, 0, 2).reshape(-1, 2)
+        data = gather_colors_banded(img, xy, band=16, approx=approx)
+        data = data.reshape(S, R, 3).transpose(1, 0, 2)
         if with_mask:
             inside = (grid > -1.0) & (grid < 1.0)
             mask = (inside[..., 0] & inside[..., 1]).astype(data.dtype)
             data = jnp.concatenate([data, mask[..., None]], -1)
         return data
 
-    feats = jax.vmap(per_view)(images, w2cs, intrinsics)  # [V, R, S, C]
+    # python loop, NOT vmap: vmapping the runtime-banded gather would batch its
+    # lax.cond into a select that executes BOTH branches every call
+    feats = jnp.stack([per_view(images[v], w2cs[v], intrinsics[v])
+                       for v in range(V)])                # [V, R, S, C]
     Vv, R, S, C = feats.shape
     return jnp.moveaxis(feats, 0, 2).reshape(R, S, Vv * C)
 
