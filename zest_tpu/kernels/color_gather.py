@@ -186,8 +186,16 @@ def gather_colors_banded(img, xy, band: int = 16, approx: bool = False):
     (taken for training's random-pixel batches).
 
     Args: img [H, W, C]; xy [N, 2] pixel coords. Returns [N, C] f32.
+
+    Coordinate-gradient contract: ``xy`` is NON-DIFFERENTIABLE here — it is
+    stop_gradient'ed so BOTH the kernel path (whose VJP returns None for xy)
+    and the XLA fallback produce identical (zero) coordinate cotangents. Every
+    call site passes ray/camera-derived pixel coords, which carry no gradient
+    anyway. For flow-warped (differentiable) coordinates use the trilinear
+    ``_diff`` kernel pattern instead — do NOT reuse this gather.
     """
     H, W, C = img.shape
+    xy = jax.lax.stop_gradient(xy)
     band = min(_round_up(max(band, 1), 8), H)
     *_pre, ok = _precompute(jax.lax.stop_gradient(xy), H, W, band)
 

@@ -15,9 +15,13 @@ gradients across grid steps into resident output refs.
 Skip/view concats are expressed as split matmuls (``[a, b] @ W = a @ W_top +
 b @ W_bot``) — no lane-unaligned concatenates inside the kernel.
 
-Precision: matmuls run 1-pass bf16 with f32 accumulation in ``approx`` mode
-(the XLA default for f32 dots on TPU rounds operands through bf16 as well);
-exact 6-pass f32 otherwise (CPU tests compare against a NumPy oracle).
+Precision: trunk/conditioning/view matmuls run 1-pass bf16 with f32
+accumulation in ``approx`` mode (the XLA default for f32 dots on TPU rounds
+operands through bf16 as well); the alpha/rgb/w/sf/prob HEAD matmuls keep f32
+operands at DEFAULT precision, matching what nerf.py's f32 head Dense layers
+do on the same backend ("heads stay f32 for stable σ/flow outputs"). Exact
+6-pass f32 everywhere in non-approx mode (CPU tests compare against a NumPy
+oracle).
 
 Restrictions (checked by ``supports_fused``): net_type v0, use_viewdirs, and
 volume-feature conditioning present. Other configurations fall back to the
@@ -108,36 +112,45 @@ def flatten_params(variables, spec: FieldSpec):
 # kernels
 # ---------------------------------------------------------------------------
 
-def _mm(a, b, approx):
-    if approx:
+# matmul modes: True = approx trunk (bf16 operands, 1-pass), "head" = f32
+# operands at DEFAULT precision — byte-for-byte what the Flax f32 head Dense
+# does on the same backend (one bf16 MXU pass on TPU, true f32 under the
+# tests' pinned float32 default) without HIGHEST's 6-pass scratch, which
+# exceeds the 16 MB scoped-vmem limit in the bwd kernel — False = exact
+# 6-pass f32 (non-approx mode).
+
+def _head_mode(approx):
+    return "head" if approx else False
+
+
+def _prep(a, b, mode):
+    if mode is True:
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
-        return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.DEFAULT)
-    return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+    prec = (jax.lax.Precision.HIGHEST if mode is False
+            else jax.lax.Precision.DEFAULT)
+    return a, b, prec
 
 
-def _mm_t(a, b, approx):
+def _mm(a, b, mode):
+    a, b, prec = _prep(a, b, mode)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=prec)
+
+
+def _mm_t(a, b, mode):
     """aᵀ @ b with the same dtype policy (contraction over rows)."""
-    if approx:
-        a = a.astype(jnp.bfloat16)
-        b = b.astype(jnp.bfloat16)
+    a, b, prec = _prep(a, b, mode)
     return jax.lax.dot_general(
         a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=(jax.lax.Precision.DEFAULT if approx
-                   else jax.lax.Precision.HIGHEST))
+        precision=prec)
 
 
-def _mm_bt(a, b, approx):
+def _mm_bt(a, b, mode):
     """a @ bᵀ (contraction over last dims)."""
-    if approx:
-        a = a.astype(jnp.bfloat16)
-        b = b.astype(jnp.bfloat16)
+    a, b, prec = _prep(a, b, mode)
     return jax.lax.dot_general(
         a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=(jax.lax.Precision.DEFAULT if approx
-                   else jax.lax.Precision.HIGHEST))
+        precision=prec)
 
 
 def _forward_tile(pts, feats, views, wr, spec: FieldSpec, approx,
@@ -163,19 +176,23 @@ def _forward_tile(pts, feats, views, wr, spec: FieldSpec, approx,
             hs.append(h)      # input of layer i (pre-concat part, h only)
         h = hn
 
+    # head matmuls (w/sf/prob/alpha/rgb) keep f32 operands even in approx
+    # mode, matching nerf.py's precision policy ("heads stay f32 for stable
+    # σ/flow outputs"): _head_mode = the Flax f32 head Dense semantics
+    hm = _head_mode(approx)
     extras = []
     if spec.sceneflow:
         if spec.static:
             Ww, bw = wr["w_linear"]
-            extras.append(jax.nn.sigmoid(_mm(h, Ww, approx) + bw))
+            extras.append(jax.nn.sigmoid(_mm(h, Ww, hm) + bw))
         else:
             Ws, bs = wr["sf_linear"]
             Wp, bp = wr["prob_linear"]
-            extras.append(jnp.tanh(_mm(h, Ws, approx) + bs))
-            extras.append(jax.nn.sigmoid(_mm(h, Wp, approx) + bp))
+            extras.append(jnp.tanh(_mm(h, Ws, hm) + bs))
+            extras.append(jax.nn.sigmoid(_mm(h, Wp, hm) + bp))
 
     Wa, ba = wr["alpha_linear"]
-    alpha = _mm(h, Wa, approx) + ba
+    alpha = _mm(h, Wa, hm) + ba
     Wf, bf = wr["feature_linear"]
     feature = _mm(h, Wf, approx) + bf
     Wv, bv = wr["views_linears_0"]
@@ -183,7 +200,7 @@ def _forward_tile(pts, feats, views, wr, spec: FieldSpec, approx,
           + _mm(views, Wv[spec.width:], approx) + bv)
     hv = jnp.maximum(zv, 0.0)
     Wr, br = wr["rgb_linear"]
-    rgb = _mm(hv, Wr, approx) + br
+    rgb = _mm(hv, Wr, hm) + br
 
     out = jnp.concatenate([rgb, alpha] + extras, axis=-1)
     if not want_intermediates:
@@ -243,7 +260,8 @@ def _bwd_kernel(*refs, spec: FieldSpec, approx, n_wb):
     def acc(name, dWv, dbv):
         dW[name] = (dWv, dbv)
 
-    # ---- heads ----
+    # ---- heads (f32-operand mode, matching the forward's head policy) ----
+    hm = _head_mode(approx)
     g_rgb = g[:, :3]
     g_alpha = g[:, 3:4]
     col = 4
@@ -254,9 +272,9 @@ def _bwd_kernel(*refs, spec: FieldSpec, approx, n_wb):
             g_w = g[:, col:col + 1] * e * (1.0 - e)
             col += 1
             Ww, _ = wr["w_linear"]
-            acc("w_linear", _mm_t(it["h_last"], g_w, approx),
+            acc("w_linear", _mm_t(it["h_last"], g_w, hm),
                 jnp.sum(g_w, 0, keepdims=True))
-            d_h = d_h + _mm_bt(g_w, Ww, approx)
+            d_h = d_h + _mm_bt(g_w, Ww, hm)
         else:
             e_sf = it["extras"][0]
             g_sf = g[:, col:col + 6] * (1.0 - e_sf * e_sf)
@@ -266,16 +284,16 @@ def _bwd_kernel(*refs, spec: FieldSpec, approx, n_wb):
             col += 2
             Ws, _ = wr["sf_linear"]
             Wp, _ = wr["prob_linear"]
-            acc("sf_linear", _mm_t(it["h_last"], g_sf, approx),
+            acc("sf_linear", _mm_t(it["h_last"], g_sf, hm),
                 jnp.sum(g_sf, 0, keepdims=True))
-            acc("prob_linear", _mm_t(it["h_last"], g_p, approx),
+            acc("prob_linear", _mm_t(it["h_last"], g_p, hm),
                 jnp.sum(g_p, 0, keepdims=True))
-            d_h = d_h + _mm_bt(g_sf, Ws, approx) + _mm_bt(g_p, Wp, approx)
+            d_h = d_h + _mm_bt(g_sf, Ws, hm) + _mm_bt(g_p, Wp, hm)
 
     Wr, _ = wr["rgb_linear"]
-    acc("rgb_linear", _mm_t(it["hv"], g_rgb, approx),
+    acc("rgb_linear", _mm_t(it["hv"], g_rgb, hm),
         jnp.sum(g_rgb, 0, keepdims=True))
-    d_hv = _mm_bt(g_rgb, Wr, approx) * (it["hv"] > 0.0)
+    d_hv = _mm_bt(g_rgb, Wr, hm) * (it["hv"] > 0.0)
     Wv, _ = wr["views_linears_0"]
     W = spec.width
     acc("views_linears_0",
@@ -291,9 +309,9 @@ def _bwd_kernel(*refs, spec: FieldSpec, approx, n_wb):
     d_h = d_h + _mm_bt(d_feature, Wf, approx)
 
     Wa, _ = wr["alpha_linear"]
-    acc("alpha_linear", _mm_t(it["h_last"], g_alpha, approx),
+    acc("alpha_linear", _mm_t(it["h_last"], g_alpha, hm),
         jnp.sum(g_alpha, 0, keepdims=True))
-    d_h = d_h + _mm_bt(g_alpha, Wa, approx)
+    d_h = d_h + _mm_bt(g_alpha, Wa, hm)
 
     # ---- trunk (reverse) ----
     bias = it["bias"]

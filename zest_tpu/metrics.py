@@ -25,7 +25,13 @@ def _ssim_window(window_size: int, sigma: float = 1.5):
 
 
 def ssim(pred, gt, window_size: int = 5, max_val: float = 1.0):
-    """Mean SSIM map over an image pair.
+    """Mean SSIM map over an image pair — kornia.metrics.ssim semantics.
+
+    kornia's default is ``padding='same'`` with reflect-padded filter2d, so the
+    SSIM map is full-size and border pixels see reflected context (NOT a valid
+    crop — round-2 used VALID, which averaged over a 2-px-smaller map and
+    diverged from the reference metric at borders). Pinned by a torch-oracle
+    golden test (tests/test_round3.py).
 
     Args: pred/gt [H, W, C] in [0, max_val].
     Returns the scalar mean (the reference calls ``ssim(...).mean()``,
@@ -34,10 +40,13 @@ def ssim(pred, gt, window_size: int = 5, max_val: float = 1.0):
     C1 = (0.01 * max_val) ** 2
     C2 = (0.03 * max_val) ** 2
     win = _ssim_window(window_size)[:, :, None, None]  # [k,k,1,1]
+    half = window_size // 2
 
     def conv(x):
-        # depthwise valid conv per channel: x [H,W,C] -> [H',W',C]
-        x = jnp.moveaxis(x, -1, 0)[:, None]  # [C,1,H,W]
+        # depthwise reflect-padded SAME conv per channel (kornia filter2d
+        # border_type='reflect'): x [H,W,C] -> [H,W,C]
+        x = jnp.pad(x, ((half, half), (half, half), (0, 0)), mode="reflect")
+        x = jnp.moveaxis(x, -1, 0)[:, None]  # [C,1,H+2h,W+2h]
         k = jnp.moveaxis(win, (0, 1, 2, 3), (2, 3, 1, 0))  # [1,1,k,k]
         y = jax.lax.conv_general_dilated(x, k, (1, 1), "VALID")
         return jnp.moveaxis(y[:, 0], 0, -1)

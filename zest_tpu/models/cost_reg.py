@@ -41,7 +41,10 @@ class Conv3dZ2D(nn.Module):
                             (3, 3, 3, C, self.out_ch)).astype(self.dtype)
         s = self.stride
         d_out = -(-D // s)
-        xb = x.reshape(N * D, H, W, C)          # N == 1 throughout
+        # folding D into the conv batch and z-padding/shifting THAT axis bleeds
+        # data across samples for N > 1 — enforce the single-volume contract
+        assert N == 1, f"Conv3dZ2D requires N == 1 (got N={N}); vmap over N"
+        xb = x.reshape(N * D, H, W, C)
         xp = jnp.pad(xb, ((1, 1), (0, 0), (0, 0), (0, 0)))
         out = None
         for dz in range(3):
@@ -87,6 +90,9 @@ class _UpConvBn(nn.Module):
         # batch this becomes three 2D lhs-dilated convs + an interleave —
         # avoiding XLA's slow channels-minor 3D conv path (see Conv3dZ2D).
         N, D, H, W, C = x.shape
+        # same single-volume contract as Conv3dZ2D: the x_next roll below is a
+        # cross-sample bleed for N > 1
+        assert N == 1, f"_UpConvBn requires N == 1 (got N={N}); vmap over N"
         kernel = self.param("deconv_kernel", torch_conv_kernel_init,
                             (3, 3, 3, C, self.out_ch)).astype(self.dtype)
         xb = x.astype(self.dtype).reshape(N * D, H, W, C)

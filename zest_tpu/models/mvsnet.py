@@ -93,6 +93,10 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
                 # to the XLA gather path when the feature width is not 128.
                 # Img channels ride along in the same call (shared tap data +
                 # interpolation matrices) instead of a second kernel launch.
+                # Under precision 16 this warps the reference-quirk RGB
+                # conditioning channels in bf16 too (the kernel's approx mode
+                # follows src dtype) — accepted rounding of the opt-in bf16
+                # mode, documented in CLAUDE.md invariants.
                 from ..kernels.plane_sweep import homo_warp_fast
                 src = feats[i + 1]
                 if i < 2:

@@ -62,15 +62,15 @@ class GanSystem:
         self._lpips = None
         if self.cfg.with_perceptual_loss:
             if not self.cfg.lpips_weights:
-                # loud, not silent: a config that asks for the perceptual term
-                # without weights would otherwise train a different objective
-                import warnings
-                warnings.warn(
+                # refuse, don't warn: training without the requested perceptual
+                # term silently optimises a different objective — same standard
+                # as the _maybe_lpips metric gate (train_loop.py)
+                raise RuntimeError(
                     "--with_perceptual_loss set but --lpips_weights missing: "
-                    "the perceptual term is DISABLED (zero-egress env needs a "
-                    "local LPIPS .npz; see models/lpips.py)", stacklevel=2)
-            else:
-                self._lpips = load_lpips(self.cfg.lpips_weights)
+                    "refusing to silently train without the perceptual term "
+                    "(zero-egress env needs a local LPIPS .npz; see "
+                    "models/lpips.py)")
+            self._lpips = load_lpips(self.cfg.lpips_weights)
 
     def init(self, rng, batch, steps_per_epoch: int = 1) -> GanTrainState:
         cfg = self.cfg

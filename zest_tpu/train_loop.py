@@ -194,6 +194,29 @@ def _maybe_lpips(cfg):
             f"refusing to silently disable the LPIPS metric") from e
 
 
+def apply_warp_band_preflight(cfg: ZestConfig, train_ds, verbose=True):
+    """Set the Pallas warp-kernel band from the dataset's exact host-side bound
+    (kernels/plane_sweep.py). Lowering from the conservative default is a pure
+    speedup (kernel cost is linear in the band); raising is a correctness fix.
+    A band the user explicitly raised above the default is never LOWERED: the
+    plane-sweep kernel has no runtime ok-guard, so an (unlikely) gap in the
+    host bound would silently zero out-of-band taps — an explicit larger band
+    is a safe, user-chosen margin."""
+    if not (cfg.use_pallas_warp and hasattr(train_ds, "warp_band_bound")):
+        return cfg
+    bound = int(train_ds.warp_band_bound(pad=cfg.pad))
+    import dataclasses
+    default_band = next(f.default for f in dataclasses.fields(type(cfg))
+                        if f.name == "warp_band")
+    if cfg.warp_band != default_band:
+        bound = max(bound, cfg.warp_band)
+    if bound != cfg.warp_band:
+        if verbose:
+            print(f"warp_band preflight: {cfg.warp_band} -> exact bound {bound}")
+        cfg = cfg.replace(warp_band=bound)
+    return cfg
+
+
 def run_training(cfg: ZestConfig, max_steps: Optional[int] = None,
                  datasets=None, quiet=False):
     """Full training run. Returns the final TrainState."""
@@ -211,11 +234,7 @@ def run_training(cfg: ZestConfig, max_steps: Optional[int] = None,
     # in the dataset (kernels/plane_sweep.py). The host-side bound is EXACT, so
     # set the band to it — lowering from the conservative default is a pure
     # speedup (kernel cost is linear in the band), raising is a correctness fix
-    if cfg.use_pallas_warp and hasattr(train_ds, "warp_band_bound"):
-        bound = int(train_ds.warp_band_bound(pad=cfg.pad))
-        if bound != cfg.warp_band:
-            print(f"warp_band preflight: {cfg.warp_band} -> exact bound {bound}")
-            cfg = cfg.replace(warp_band=bound)
+    cfg = apply_warp_band_preflight(cfg, train_ds, verbose=not quiet)
 
     if cfg.N_importance > 0:
         import warnings
@@ -336,6 +355,12 @@ def run_test(cfg: ZestConfig, datasets=None, quiet=False):
     system = ZestSystem(cfg)
     batch0 = to_device(test_ds[0])
     params = system.init_params(jax.random.PRNGKey(0), batch0)
+    if not cfg.ckpt:
+        # without --ckpt this evaluates RANDOM INIT and would still write a
+        # legitimate-looking test_metrics.txt — be loud about it
+        import warnings
+        warnings.warn("run_test called without --ckpt: evaluating randomly "
+                      "initialised weights, not a trained model", stacklevel=2)
     if cfg.ckpt:
         ckpt_dir = Path(cfg.ckpt).parent
         mgr = CheckpointManager(ckpt_dir)
