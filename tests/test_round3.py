@@ -277,3 +277,102 @@ def test_generated_configs_match_reference_values():
             assert getattr(a, f.name) == getattr(b, f.name), \
                 f"{fname}: field {f.name}: ours={getattr(a, f.name)!r} " \
                 f"ref={getattr(b, f.name)!r}"
+
+
+# --------------------------------------------------------------------------
+# r-major color-feature gather (VERDICT r2 weak #4 / next #6)
+# --------------------------------------------------------------------------
+
+def _color_geometry(R=8, S=16, H=24, W=32, V=2, seed=0):
+    rng = np.random.default_rng(seed)
+    imgs = rng.uniform(size=(V, H, W, 3)).astype(np.float32)
+    w2cs = np.tile(np.eye(4, dtype=np.float32), (V, 1, 1))
+    w2cs[1, :3, 3] = [0.1, -0.05, 0.02]
+    intrs = np.tile(np.array([[0.6 * W, 0, W / 2], [0, 0.6 * W, H / 2],
+                              [0, 0, 1]], np.float32), (V, 1, 1))
+    pts = rng.uniform(-0.5, 0.5, size=(R, S, 3)).astype(np.float32) \
+        + np.array([0, 0, 3.0], np.float32)
+    return jnp.asarray(pts), jnp.asarray(imgs), jnp.asarray(w2cs), \
+        jnp.asarray(intrs)
+
+
+def test_color_features_r_major_matches_s_major():
+    """Chunk layout is a pure reordering — identical output values."""
+    from zest_tpu import render
+    pts, imgs, w2cs, intrs = _color_geometry()
+    a = render.build_color_features(pts, imgs, w2cs, intrs, order="s_major")
+    b = render.build_color_features(pts, imgs, w2cs, intrs, order="r_major",
+                                    band=24)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_r_major_band_holds_for_random_pixels():
+    """The point of r-major chunking: with RANDOM train pixels and S=128, the
+    per-chunk row spread is the per-ray epipolar drift — the banded kernel's
+    ok-predicate must hold (sample-major provably fails on the same rays)."""
+    from zest_tpu import geometry
+    from zest_tpu.kernels.color_gather import _precompute
+    R, S, H, W = 16, 128, 288, 512
+    rng = np.random.default_rng(3)
+    # realistic forward-facing geometry: small camera offset, f = 0.8 W
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[:3, 3] = [0.15, -0.1, 0.05]
+    intr = np.array([[0.8 * W, 0, W / 2], [0, 0.8 * W, H / 2], [0, 0, 1]],
+                    np.float32)
+    c2w_tgt = np.eye(4, dtype=np.float32)
+    # rays through random pixels of the TARGET camera, samples z in [2, 6]
+    xs = rng.integers(0, W, R).astype(np.float32)
+    ys = rng.integers(0, H, R).astype(np.float32)
+    dirs = np.stack([(xs - W / 2) / (0.8 * W), (ys - H / 2) / (0.8 * W),
+                     np.ones_like(xs)], -1)
+    z = np.linspace(2.0, 6.0, S, dtype=np.float32)
+    pts = dirs[:, None, :] * z[None, :, None]                   # [R, S, 3]
+    inv_scale = jnp.array([W - 1, H - 1], jnp.float32)
+    ndc = geometry.world_to_ndc(jnp.asarray(pts), jnp.asarray(w2c),
+                                jnp.asarray(intr), inv_scale, near=2.0,
+                                far=6.0, pad=0)
+    xy_r = (ndc[..., :2] * inv_scale).reshape(-1, 2)            # r-major
+    xy_s = (ndc[..., :2] * inv_scale).transpose(1, 0, 2).reshape(-1, 2)
+    *_a, ok_r = _precompute(xy_r, H, W, band=48)
+    *_b, ok_s = _precompute(xy_s, H, W, band=48)
+    assert bool(ok_r), "r-major epipolar band must hold for random pixels"
+    assert not bool(ok_s), "sanity: sample-major must fail on random pixels"
+
+
+# --------------------------------------------------------------------------
+# octo-paired trilinear gather (warped-sites XLA fallback, VERDICT r2 next #1)
+# --------------------------------------------------------------------------
+
+def test_grid_sample_3d_paired_matches_reference():
+    """One-wide-gather formulation must match grid_sample_3d exactly,
+    INCLUDING out-of-bounds coords (flow-warped points leave the volume; the
+    floor = -1 case needs the leading zero slab) and coordinate/volume grads."""
+    from zest_tpu.ops.grid_sample import grid_sample_3d, grid_sample_3d_paired
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.normal(size=(6, 7, 9, 4)).astype(np.float32))
+    # cover interior, borders, just-outside (floor -1), and far-outside
+    g_in = rng.uniform(-1, 1, size=(64, 5, 3))
+    g_edge = rng.uniform(-1.3, -0.9, size=(32, 5, 3))
+    g_far = rng.uniform(1.0, 2.5, size=(16, 5, 3)) * rng.choice([-1, 1], (16, 5, 3))
+    grid = jnp.asarray(np.concatenate([g_in, g_edge, g_far]).astype(np.float32))
+
+    want = grid_sample_3d(vol, grid, padding_mode="zeros")
+    got = grid_sample_3d_paired(vol, grid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6,
+                               atol=1e-6)
+
+    g_out = jnp.asarray(rng.normal(size=want.shape).astype(np.float32))
+
+    def loss_ref(v, g):
+        return jnp.vdot(grid_sample_3d(v, g, padding_mode="zeros"), g_out)
+
+    def loss_pair(v, g):
+        return jnp.vdot(grid_sample_3d_paired(v, g), g_out)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1))(vol, grid)
+    gp = jax.grad(loss_pair, argnums=(0, 1))(vol, grid)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gr[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gr[1]),
+                               rtol=1e-5, atol=1e-5)

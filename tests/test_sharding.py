@@ -72,3 +72,78 @@ def test_mesh_step_matches_single_device_volumes():
 def test_dryrun_multichip_entry():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+# --------------------------------------------------------------------------
+# Pallas kernels under a mesh (VERDICT r2 next #4): interpret-mode shard_map
+# --------------------------------------------------------------------------
+
+def test_warp_kernel_partitions_under_shard_map():
+    """The plane-sweep warp kernel must run INSIDE shard_map with the depth
+    planes partitioned over the mesh (each device warps its local planes) and
+    reproduce the unsharded result — the kernel x GSPMD interaction the
+    multi-chip dryrun does not exercise (its shapes take the XLA fallback)."""
+    from jax.sharding import PartitionSpec as P
+    shard_map = jax.shard_map
+    from zest_tpu.kernels.plane_sweep import homo_warp_fast
+
+    mesh = make_mesh(8)
+    h, w, C, D = 32, 128, 8, 16
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.normal(size=(h, w, C)).astype(np.float32))
+    proj = jnp.asarray(np.array(
+        [[1.0, 0.01, 0.0, 1.5], [0.005, 1.0, 0.0, -0.8],
+         [0.0, 0.0001, 1.0, 0.0]], np.float32))
+    depths = jnp.linspace(2.0, 6.0, D)
+
+    want, want_grid = homo_warp_fast(src, proj, depths, pad=4, band=16)
+
+    @jax.jit
+    def sharded(src, proj, depths):
+        def local(src, proj, d_local):
+            warped, grid = homo_warp_fast(src, proj, d_local, pad=4, band=16)
+            return warped, grid
+        return shard_map(local, mesh=mesh,
+                         in_specs=(P(), P(), P("data")),
+                         out_specs=(P("data"), P("data")),
+                         check_vma=False)(src, proj, depths)
+
+    got, got_grid = sharded(src, proj, depths)
+    # per-shard tap precompute reorders a handful of float ops -> ~1e-5 noise
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_grid), np.asarray(want_grid),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_trilinear_kernel_replicated_under_mesh():
+    """The z-banded trilinear kernel inside a jit with a sharded ray axis:
+    GSPMD must partition the ray-chunk grid dimension (or replicate) without
+    miscompiling — values must match the meshless call."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from zest_tpu.kernels.trilinear import sample_volume_zbanded
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(1)
+    D, Hv, Wv, C = 16, 8, 8, 8
+    vol = jnp.asarray(rng.normal(size=(D, Hv, Wv, C)).astype(np.float32))
+    R, S = 256, 16
+    # z-banded construction: z = linspace + jitter (the kernel's contract)
+    z = (np.linspace(0, 1, S)[None, :]
+         + rng.uniform(0, 1.0 / S, (R, S))).clip(0, 1)
+    ndc = np.stack([rng.uniform(0, 1, (R, S)), rng.uniform(0, 1, (R, S)), z],
+                   -1).astype(np.float32)
+    ndc = jnp.asarray(ndc)
+
+    want = sample_volume_zbanded(vol, ndc, band=4)
+
+    @jax.jit
+    def sharded(vol, ndc):
+        ndc = jax.lax.with_sharding_constraint(
+            ndc, NamedSharding(mesh, P("data", None, None)))
+        return sample_volume_zbanded(vol, ndc, band=4)
+
+    with mesh:
+        got = sharded(vol, ndc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

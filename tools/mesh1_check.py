@@ -1,0 +1,65 @@
+"""Flagship train step under a real 1-device Mesh with all Pallas kernels
+engaged (VERDICT r2 next #4): validates kernel x GSPMD on actual TPU hardware
+(the 8-device dryrun runs on CPU where every kernel takes its XLA fallback).
+
+Prints the per-step loss under mesh and meshless for the same rng — they must
+match to bf16-accumulation noise.
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def run(mesh_shape):
+    from zest_tpu.config import ZestConfig
+    from zest_tpu.data.synthetic import SyntheticDataset
+    from zest_tpu.system import ZestSystem, TrainState, phase_for_step
+
+    cfg = ZestConfig(train_sceneflow=True, use_mvs=True, use_mvs_dy=True, pad=24,
+                     num_keyframes=8, netdepth=8, netwidth=256, multires=10,
+                     multires_views=4, N_samples=128, batch_size=600,
+                     num_extra_samples=512, use_motion_mask=True,
+                     decay_iteration=30, with_chain_loss=True, pts_embedder=True,
+                     dir_embedder=True, use_viewdirs=True, num_epochs=6000,
+                     raw_noise_std=1.0, img_h=288, img_w=512, precision=16,
+                     mesh_shape=mesh_shape)
+    ds = SyntheticDataset(img_h=288, img_w=512, num_frames=24, num_keyframes=8,
+                          use_mvs=True, use_mvs_dy=True)
+    batch = {k: jnp.asarray(v) for k, v in ds[3].items()}
+    cfg = cfg.replace(warp_band=ds.warp_band_bound(pad=cfg.pad))
+
+    system = ZestSystem(cfg)
+    params = system.init_params(jax.random.PRNGKey(0), batch)
+    opt = system.make_optimizer(steps_per_epoch=24)
+    state = TrainState(params, opt.init(params), jnp.asarray(0))
+    step_fn = system.make_train_step(opt)
+    phase = phase_for_step(cfg, 0)
+    rng = jax.random.PRNGKey(1)
+    state, logs = step_fn(state, batch, rng, phase)
+    l0 = float(logs["train_loss"])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        state, logs = step_fn(state, batch, rng, phase)
+    l1 = float(logs["train_loss"])
+    dt = (time.perf_counter() - t0) / 3
+    return l0, l1, dt
+
+
+def main():
+    print(f"devices: {jax.devices()}", flush=True)
+    l0m, l1m, dtm = run("data:1")
+    print(f"mesh(1):  loss0={l0m:.6f} loss3={l1m:.6f} {dtm*1000:.0f} ms/step",
+          flush=True)
+    l0, l1, dt = run(None)
+    print(f"meshless: loss0={l0:.6f} loss3={l1:.6f} {dt*1000:.0f} ms/step",
+          flush=True)
+    assert abs(l0m - l0) < 1e-2 * max(1.0, abs(l0)), (l0m, l0)
+    print("OK: kernels run under a real-device mesh, losses agree")
+
+
+if __name__ == "__main__":
+    main()

@@ -146,6 +146,13 @@ class ZestConfig:
     # fused NeRF-MLP Pallas kernel (trunk + heads resident in VMEM); applies
     # to v0 fields with viewdirs + volume conditioning, Flax otherwise
     use_fused_mlp: bool = True
+    # training-time color-feature gather: ray-major chunking (one ray's S
+    # samples per 128-lane chunk) lets the y-banded Pallas gather engage for
+    # RANDOM train pixels — the band only needs to cover the per-ray epipolar
+    # row drift (measured <= 10.5 rows on the flagship geometry, + 1 tap row
+    # + up to 7 alignment rows). Pure reordering (identical values); runtime
+    # ok-check falls back to XLA if the drift exceeds the band. Multiple of 8.
+    color_band_train: int = 24
     render_path: str = "auto"  # wander | spiral | spheric (render_spiral.py)
     # rays per traced eval iteration. The reference's --chunk (1024) is a CUDA
     # memory knob; one TPU chip comfortably renders far larger batches per pass,

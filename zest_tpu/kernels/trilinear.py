@@ -475,10 +475,13 @@ def sample_volume_zbanded_diff(vol, ndc, band: int = 6, approx=None):
 
     def xla_path(operands):
         vol, ndc = operands
+        # octo-paired wide-row gather (ops/grid_sample.grid_sample_3d_paired):
+        # one 8C-wide gather per point instead of 8 C-wide — measured 306 →
+        # 133 ms fwd+bwd for the flagship's 427k warped sites (bit-exact).
         # approx: gather AND the autodiff scatter-add (d_vol) run in bf16 —
-        # measured 2.4x faster scatter; matches the kernel path's bf16 matmuls
+        # matches the kernel path's bf16 matmuls
+        from ..ops.grid_sample import grid_sample_3d_paired
         v = vol.astype(jnp.bfloat16) if approx else vol
-        return grid_sample_3d(v, ndc * 2.0 - 1.0,
-                              padding_mode="zeros").astype(jnp.float32)
+        return grid_sample_3d_paired(v, ndc * 2.0 - 1.0).astype(jnp.float32)
 
     return jax.lax.cond(ok, kern_path, xla_path, (vol, ndc))

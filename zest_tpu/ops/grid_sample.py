@@ -15,6 +15,7 @@ portable reference/oracle.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -117,6 +118,69 @@ def grid_sample_3d(vol, grid, padding_mode: str = "zeros"):
            + tap(z0 + 1, y0 + 1, x0, wz1 * wy1 * wx0)
            + tap(z0 + 1, y0 + 1, x0 + 1, wz1 * wy1 * wx1))
     return out
+
+
+def grid_sample_3d_paired(vol, grid):
+    """Trilinear 3D sampling via ONE wide gather per point ("zeros" mode).
+
+    Identical taps/weights to ``grid_sample_3d`` (bit-exact, verified on a
+    v5e), but the 8 corner taps are pre-paired into a super-volume
+    ``volP[z, y, x] = vol[z..z+1, y..y+1, x..x+1, :]`` of 8·C contiguous
+    channels, so each point needs one row gather of 8C elements instead of 8
+    gathers of C. TPU gathers are per-row latency-bound: measured 306 → 133 ms
+    fwd+bwd for the flagship's 427k warped sample sites (tools/
+    bench_warped_gather.py). The autodiff VJP scatters the same wide rows and
+    folds back through the (cheap, elementwise) pairing shifts.
+
+    HBM cost: volP is 8x the volume (~350 MB bf16 at flagship scale, built in
+    ~0.5 ms) — the trade is decisively won by the gather/scatter savings.
+
+    Args: vol [D, H, W, C]; grid [..., 3] (x, y, z) in [-1, 1].
+    Returns: [..., C]
+    """
+    D, H, W, C = vol.shape
+
+    # leading zero slab per axis: a point just OUTSIDE the volume whose +1 tap
+    # is the first slice (floor = -1, frequent for flow-warped coords) must
+    # gather a row whose pair halves are (0, vol[0]) — clamping the row to 0
+    # would silently substitute vol[1] for the +1 tap
+    volZ = jnp.pad(vol, ((1, 0), (1, 0), (1, 0), (0, 0)))
+
+    def pair(v, axis):
+        shifted = jnp.concatenate(
+            [jax.lax.slice_in_dim(v, 1, v.shape[axis], axis=axis),
+             jnp.zeros_like(jax.lax.slice_in_dim(v, 0, 1, axis=axis))], axis)
+        return jnp.concatenate([v, shifted], -1)
+
+    volP = pair(pair(pair(volZ, 2), 1), 0)           # [D+1, H+1, W+1, 8C]
+    flat = volP.reshape((D + 1) * (H + 1) * (W + 1), 8 * C)
+
+    x = _unnormalize(grid[..., 0], W)
+    y = _unnormalize(grid[..., 1], H)
+    z = _unnormalize(grid[..., 2], D)
+
+    def taps(v, n):
+        v0 = jnp.floor(v)
+        f = v - v0
+        m0 = (v0 >= 0) & (v0 <= n - 1)
+        m1 = (v0 + 1 >= 0) & (v0 + 1 <= n - 1)
+        w0 = jnp.where(m0, 1.0 - f, 0.0)
+        w1 = jnp.where(m1, f, 0.0)
+        # padded-row index: base floor shifted by the zero slab; clip keeps it
+        # gatherable, and any clipped case has both weights masked to zero
+        return jnp.clip(v0 + 1, 0, n).astype(jnp.int32), w0, w1
+
+    ix0, wx0, wx1 = taps(x, W)
+    iy0, wy0, wy1 = taps(y, H)
+    iz0, wz0, wz1 = taps(z, D)
+    rows = jnp.take(flat, (iz0 * (H + 1) + iy0) * (W + 1) + ix0,
+                    axis=0)                                    # [..., 8C]
+    octo = rows.reshape(rows.shape[:-1] + (2, 2, 2, C))
+    w = (jnp.stack([wz0, wz1], -1)[..., :, None, None]
+         * jnp.stack([wy0, wy1], -1)[..., None, :, None]
+         * jnp.stack([wx0, wx1], -1)[..., None, None, :])      # [..., 2,2,2]
+    return jnp.einsum("...zyxc,...zyx->...c", octo.astype(jnp.float32),
+                      w.astype(jnp.float32))
 
 
 def resize_bilinear_align_corners(img, out_hw):

@@ -136,13 +136,26 @@ def sample_volume_features(volume, ndc):
 
 
 def build_color_features(pts_world, images, w2cs, intrinsics,
-                         with_mask: bool = True, approx: bool = False):
+                         with_mask: bool = True, approx: bool = False,
+                         order: str = "s_major", band: int = 16):
     """Per-source-view RGB (+ in-bounds mask) sampled at ray points.
 
     Mirrors utils.py:461-505 (build_color_volume): project points into each source view
     (no pad), bilinear-sample the *unnormalized* image with border padding, append the
     strict in-bounds mask. ``approx`` gathers the images in bf16 (halved gather
     traffic; the consuming field conditioning is bf16 under --precision 16).
+
+    ``order`` picks the point layout seen by the y-banded gather kernel
+    (kernels/color_gather.py) — a pure reordering, identical results:
+      - "s_major": 128 consecutive points = 128 rays at one depth sample. The
+        band holds for EVAL's contiguous-pixel batches (few image rows) but
+        never for training's random pixels.
+      - "r_major": 128 consecutive points = ONE ray's S=128 depth samples,
+        whose source-view projections span only the epipolar drift (tens of
+        rows) REGARDLESS of which pixels were sampled — the kernel engages at
+        train with a wider ``band``, with no change to the sampling
+        distribution. Requires S == 128 for aligned chunks (runtime ok-check
+        falls back otherwise, so this is purely a fast path).
 
     Args:
         pts_world: [R, S, 3]; images [V, H, W, 3]; w2cs [V,4,4]; intrinsics [V,3,3].
@@ -156,14 +169,16 @@ def build_color_features(pts_world, images, w2cs, intrinsics,
         ndc = geometry.world_to_ndc(pts_world, w2c, intr, inv_scale,
                                     near=2.0, far=6.0, pad=0)
         grid = ndc[..., :2] * 2.0 - 1.0
-        # y-banded Pallas gather (kernels/color_gather.py): chunks are laid out
-        # sample-major so 128 consecutive points share one depth sample — for
-        # eval's contiguous-pixel batches they span only a few image rows.
-        # Runtime-checked; exact XLA fallback for random-pixel train batches.
         from .kernels.color_gather import gather_colors_banded
-        xy = (ndc[..., :2] * inv_scale).transpose(1, 0, 2).reshape(-1, 2)
-        data = gather_colors_banded(img, xy, band=16, approx=approx)
-        data = data.reshape(S, R, 3).transpose(1, 0, 2)
+        xy_rs = ndc[..., :2] * inv_scale
+        if order == "r_major":
+            xy = xy_rs.reshape(-1, 2)
+            data = gather_colors_banded(img, xy, band=band, approx=approx)
+            data = data.reshape(R, S, 3)
+        else:
+            xy = xy_rs.transpose(1, 0, 2).reshape(-1, 2)
+            data = gather_colors_banded(img, xy, band=band, approx=approx)
+            data = data.reshape(S, R, 3).transpose(1, 0, 2)
         if with_mask:
             inside = (grid > -1.0) & (grid < 1.0)
             mask = (inside[..., 0] & inside[..., 1]).astype(data.dtype)
@@ -205,8 +220,11 @@ def append_color_volume(volume, images, w2cs, intrinsics, near_far, inv_scale,
     pts_world = geometry.ndc_to_world(ndc, w2cs[0], intrinsics[0], inv_scale,
                                       near=near_far[0], far=near_far[1], pad=pad)
     V = images.shape[0]
+    # r-major chunking: consecutive points walk one (d, y) voxel row, whose
+    # projections stay within ~2 image rows — the banded gather kernel engages
+    # (s-major would interleave all y's per chunk and always fall back)
     colors = build_color_features(pts_world.reshape(D * Hv, Wv, 3), images,
-                                  w2cs[:V], intrinsics[:V])
+                                  w2cs[:V], intrinsics[:V], order="r_major")
     colors = colors.reshape(D, Hv, Wv, V * 4).astype(volume.dtype)
     return jnp.concatenate([volume, colors], -1)
 

@@ -218,10 +218,16 @@ class ZestSystem:
         return enc(params)
 
     def _render_models(self, params, batch, static_vol, dyn_vol,
-                       imgs_un, nb_imgs_un) -> render.RenderModels:
+                       imgs_un, nb_imgs_un, train: bool = True) -> render.RenderModels:
         cfg = self.cfg
 
         approx_gathers = cfg.precision == 16 or cfg.bf16
+        # color-feature gather layout: train batches sample random pixels, so
+        # only ray-major chunking (per-ray epipolar band) lets the Pallas
+        # gather engage; eval's contiguous pixels use the tighter sample-major
+        # layout (see render.build_color_features)
+        col_order = "r_major" if train else "s_major"
+        col_band = cfg.color_band_train if train else 16
 
         def sample_vol(vol, ndc, banded: bool):
             """Volume lookup: Pallas z-banded kernel for unwarped sample sites;
@@ -286,7 +292,9 @@ class ZestSystem:
                     col = render.build_color_features(pts_world, src_imgs,
                                                       batch["w2cs"][:-1],
                                                       batch["intrinsics"][:-1],
-                                                      approx=approx_gathers)
+                                                      approx=approx_gathers,
+                                                      order=col_order,
+                                                      band=col_band)
                     return jnp.concatenate([vol, col], -1)
 
         dynamic_vol_fn = dynamic_col_fn = None
@@ -298,7 +306,9 @@ class ZestSystem:
                 return render.build_color_features(pts_world, nb_imgs_un,
                                                    batch["nb_w2cs"],
                                                    batch["nb_intr"],
-                                                   approx=approx_gathers)
+                                                   approx=approx_gathers,
+                                                   order=col_order,
+                                                   band=col_band)
 
         # multires 0 == identity embedding (positional_encoding early-returns),
         # honoring --pts_embedder/--dir_embedder=False without a shape mismatch
@@ -486,7 +496,7 @@ class ZestSystem:
             imgs_un = unpreprocess(batch["images"])
             nb_imgs_un = unpreprocess(batch["nb_imgs"]) if "nb_imgs" in batch else None
             models = self._render_models(params, batch, static_vol, dyn_vol,
-                                         imgs_un, nb_imgs_un)
+                                         imgs_un, nb_imgs_un, train=False)
 
             # eval_chunk ≫ the reference's CUDA-memory chunk: fewer, larger
             # lax.map iterations keep the MXU fed (full-image eval was the
