@@ -1,0 +1,64 @@
+"""Full-image eval throughput at flagship scale, per eval_chunk (VERDICT r2 #5).
+
+288x512 scene-flow eval (volumes built once per image, two field passes per
+ray, banded kernels engaged). Forced-fetch timing; inputs varied across
+repeats (the axon tunnel memoizes identical executions). Persistent compile
+cache makes retries of the same chunk size cheap.
+
+Usage: python tools/bench_eval.py [chunk ...]   (default: 8192 16384)
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main(chunks):
+    from zest_tpu.config import ZestConfig
+    from zest_tpu.data.synthetic import SyntheticDataset
+    from zest_tpu.system import ZestSystem
+
+    base = ZestConfig(train_sceneflow=True, use_mvs=True, use_mvs_dy=True,
+                      pad=24, num_keyframes=8, netdepth=8, netwidth=256,
+                      multires=10, multires_views=4, N_samples=128,
+                      batch_size=600, num_extra_samples=512,
+                      use_motion_mask=True, decay_iteration=30,
+                      with_chain_loss=True, pts_embedder=True,
+                      dir_embedder=True, use_viewdirs=True, num_epochs=6000,
+                      raw_noise_std=1.0, img_h=288, img_w=512, precision=16)
+    ds = SyntheticDataset(img_h=288, img_w=512, num_frames=24, num_keyframes=8,
+                          use_mvs=True, use_mvs_dy=True)
+    batch = {k: jnp.asarray(v) for k, v in ds[3].items()}
+    base = base.replace(warp_band=ds.warp_band_bound(pad=base.pad))
+
+    for chunk in chunks:
+        cfg = base.replace(eval_chunk=chunk)
+        system = ZestSystem(cfg)
+        params = system.init_params(jax.random.PRNGKey(0), batch)
+        eval_fn = system.make_eval_step()
+        t_c0 = time.perf_counter()
+        maps = eval_fn(params, batch)
+        float(maps["rgb_map_ref"][0, 0, 0])     # forces compile+exec
+        print(f"chunk {chunk}: first call (compile+run) "
+              f"{time.perf_counter() - t_c0:.1f} s", flush=True)
+        n = 3
+        t0 = time.perf_counter()
+        prev = 0.0
+        for i in range(n):
+            b2 = dict(batch)
+            b2["images"] = batch["images"] + prev * 1e-6  # defeat memoization
+            maps = eval_fn(params, b2)
+            prev = float(maps["rgb_map_ref"][0, 0, 0]) % 1.0
+        dt = (time.perf_counter() - t0) / n
+        print(f"chunk {chunk}: {dt:.2f} s/image "
+              f"({288 * 512 / dt:.0f} rays/s)", flush=True)
+
+
+if __name__ == "__main__":
+    cs = [int(a) for a in sys.argv[1:]] or [8192, 16384]
+    main(cs)

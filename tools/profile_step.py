@@ -56,6 +56,9 @@ def capture(outdir):
 
 
 def aggregate(outdir, top=30):
+    """Sum leaf-op durations on DEVICE lanes only (pid whose process_name
+    mentions the TPU device; thread 'XLA Ops'), grouped by op-name stem +
+    source file:line."""
     files = glob.glob(f"{outdir}/**/*.trace.json.gz", recursive=True)
     assert files, f"no trace under {outdir}"
     ev_by_src = defaultdict(float)
@@ -63,17 +66,33 @@ def aggregate(outdir, top=30):
     for f in files:
         with gzip.open(f, "rt") as fh:
             data = json.load(fh)
-        for ev in data.get("traceEvents", []):
+        events = data.get("traceEvents", [])
+        pid_name = {}
+        tid_name = {}
+        for ev in events:
+            if ev.get("ph") == "M" and ev.get("name") == "process_name":
+                pid_name[ev["pid"]] = ev["args"].get("name", "")
+            if ev.get("ph") == "M" and ev.get("name") == "thread_name":
+                tid_name[(ev["pid"], ev.get("tid"))] = \
+                    ev["args"].get("name", "")
+        dev_pids = {p for p, n in pid_name.items()
+                    if "TPU" in n or "Device" in n or "/device" in n}
+        for ev in events:
             if ev.get("ph") != "X" or "dur" not in ev:
                 continue
+            if ev.get("pid") not in dev_pids:
+                continue
+            tname = tid_name.get((ev.get("pid"), ev.get("tid")), "")
+            if "XLA Ops" not in tname and "Ops" not in tname:
+                continue
             args = ev.get("args") or {}
-            # only device-lane leaf ops (they carry a source/name)
             src = args.get("source") or ""
             name = ev.get("name", "")
-            key = f"{name.split('.')[0][:46]} | {src.split('/')[-1][:46]}"
+            stem = name.split(".")[0].split("(")[0][:40]
+            key = f"{stem} | {src.split('/')[-1][:40]}"
             ev_by_src[key] += ev["dur"] / 1e3   # ms
             total += ev["dur"] / 1e3
-    print(f"total leaf-event ms over 3 steps: {total:.1f}  (/3 per step)")
+    print(f"device leaf-op ms over 3 steps: {total:.1f} ({total/3:.1f}/step)")
     for k, v in sorted(ev_by_src.items(), key=lambda kv: -kv[1])[:top]:
         print(f"{v/3:9.2f} ms  {k}")
 

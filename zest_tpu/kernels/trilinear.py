@@ -305,12 +305,24 @@ def _bwd_pallas(g, ints_l, flts_l, ints_s, flts_s, zb, dims):
         out_shape=jax.ShapeDtypeStruct((S, Hv, band * Wv * C), jnp.float32),
         interpret=_interp(),
     )(zb, g, ints_l, flts_l, ints_s, flts_s)
-    # segment-add the per-sample banded mini-volumes into d_vol (no scatter
-    # hot-path: 384 slice adds)
+    # segment-add the per-sample banded mini-volumes into d_vol as a ONE-HOT
+    # MATMUL over the tiny (D x S·band) index structure. The round-2 form
+    # (`at[idx].add`) lowered to a ~1000-iteration serial while/dynamic-update-
+    # slice chain on TPU (~50 ms/step in the round-3 profile); the one-hot
+    # contraction is ~44 GFLOP of MXU work instead.
     mini = mini.reshape(S, Hv, band, Wv * C).transpose(0, 2, 1, 3)
-    idx = (zb[:, None] + jnp.arange(band)[None, :]).reshape(-1)
-    d_volR = jnp.zeros((D, Hv, Wv * C), jnp.float32)
-    return d_volR.at[idx].add(mini.reshape(S * band, Hv, Wv * C))
+    idx = (zb[:, None] + jnp.arange(band)[None, :]).reshape(-1)  # [S·band]
+    onehot = (jnp.arange(D)[:, None] == idx[None, :])
+    mini2 = mini.reshape(S * band, Hv * Wv * C)
+    if approx:
+        # bf16 mini rounding matches the bf16 d_vol the caller casts to anyway
+        d = jnp.dot(onehot.astype(jnp.bfloat16), mini2.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    else:
+        d = jnp.dot(onehot.astype(jnp.float32), mini2,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    return d.reshape(D, Hv, Wv * C)
 
 
 def _coords_pallas(g, volR, ints_l, flts_l, dflts_l, ints_s, flts_s, dflts_s,

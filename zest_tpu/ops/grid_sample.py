@@ -143,16 +143,15 @@ def grid_sample_3d_paired(vol, grid):
     # leading zero slab per axis: a point just OUTSIDE the volume whose +1 tap
     # is the first slice (floor = -1, frequent for flow-warped coords) must
     # gather a row whose pair halves are (0, vol[0]) — clamping the row to 0
-    # would silently substitute vol[1] for the +1 tap
-    volZ = jnp.pad(vol, ((1, 0), (1, 0), (1, 0), (0, 0)))
-
-    def pair(v, axis):
-        shifted = jnp.concatenate(
-            [jax.lax.slice_in_dim(v, 1, v.shape[axis], axis=axis),
-             jnp.zeros_like(jax.lax.slice_in_dim(v, 0, 1, axis=axis))], axis)
-        return jnp.concatenate([v, shifted], -1)
-
-    volP = pair(pair(pair(volZ, 2), 1), 0)           # [D+1, H+1, W+1, 8C]
+    # would silently substitute vol[1] for the +1 tap. One trailing pad too, so
+    # every octant below is a static slice of the same padded array.
+    # NOTE: built as ONE 8-way concat of static slices — a nested
+    # pair-of-pairs chain made XLA lower the 346 MB build into serial
+    # while/dynamic-update-slice streams (~36 ms/step, round-3 profile).
+    volZ2 = jnp.pad(vol, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    octants = [volZ2[dz:dz + D + 1, dy:dy + H + 1, dx:dx + W + 1]
+               for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
+    volP = jnp.concatenate(octants, -1)              # [D+1, H+1, W+1, 8C]
     flat = volP.reshape((D + 1) * (H + 1) * (W + 1), 8 * C)
 
     x = _unnormalize(grid[..., 0], W)
