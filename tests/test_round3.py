@@ -376,3 +376,27 @@ def test_grid_sample_3d_paired_matches_reference():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gr[1]),
                                rtol=1e-5, atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# warped-sites band flip (VERDICT r2 next #3)
+# --------------------------------------------------------------------------
+
+def test_warped_band_flips_with_flow_magnitude():
+    """The coordinate-differentiable trilinear kernel's z-band predicate must
+    HOLD for converged-scale flows (~1e-2 NDC) and FAIL for saturated init
+    flows (|sf| -> 1) — the lax.cond branch selection the trained-regime bench
+    relies on (tools/bench_trained_regime.py)."""
+    from zest_tpu.kernels.trilinear import _precompute
+    rng = np.random.default_rng(0)
+    R, S, D, Hv, Wv = 64, 128, 128, 120, 176
+    z = (np.linspace(0, 1, S)[None, :]
+         + rng.uniform(0, 1.0 / S, (R, S))).clip(0, 1)
+    ndc = np.stack([rng.uniform(0, 1, (R, S)), rng.uniform(0, 1, (R, S)), z],
+                   -1).astype(np.float32)
+    flow = np.tanh(rng.normal(size=(R, S, 3))).astype(np.float32)
+
+    for scale, expect in [(0.01, True), (1.0, False)]:
+        warped = jnp.asarray(ndc + scale * flow)
+        *_x, ok = _precompute(warped, D, Hv, Wv, band=6)
+        assert bool(ok) == expect, (scale, bool(ok))

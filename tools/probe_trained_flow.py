@@ -62,9 +62,11 @@ def main(n_steps=600, probe_every=100):
         Wv = (cfg.img_w // 4 + cfg.pad * 2)
         *_a, ok_prev = _precompute(prev_ndc, D, Hv, Wv, cfg.z_band_warped)
         *_b, ok_post = _precompute(post_ndc, D, Hv, Wv, cfg.z_band_warped)
-        max_sf = jnp.maximum(jnp.max(jnp.abs(ret["raw_sf_ref2prev"])),
-                             jnp.max(jnp.abs(ret["raw_sf_ref2post"])))
-        return ok_prev & ok_post, max_sf
+        # the kernel bands Z only — xy flow components are irrelevant to ok
+        sfz = jnp.concatenate([jnp.abs(ret["raw_sf_ref2prev"][..., 2]),
+                               jnp.abs(ret["raw_sf_ref2post"][..., 2])])
+        qs = jnp.quantile(sfz.reshape(-1), jnp.array([0.5, 0.99, 0.999, 1.0]))
+        return ok_prev & ok_post, qs
 
     state, logs = step_fn(state, batch, rng, phase)
     float(logs["train_loss"])
@@ -76,9 +78,11 @@ def main(n_steps=600, probe_every=100):
         if i % probe_every == 0:
             loss = float(logs["train_loss"])          # forces the chain
             dt = time.perf_counter() - t0
-            ok, max_sf = probe(state.params, state.step)
+            ok, qs = probe(state.params, state.step)
+            q = [float(v) for v in qs]
             print(f"step {i}: loss={loss:.4f} rays/s={probe_every*n_rays/dt:.0f}"
-                  f" max|sf|={float(max_sf):.4f} band_ok={bool(ok)}", flush=True)
+                  f" |sf_z| p50={q[0]:.4f} p99={q[1]:.4f} p99.9={q[2]:.4f} "
+                  f"max={q[3]:.4f} band_ok={bool(ok)}", flush=True)
             t0 = time.perf_counter()
 
 

@@ -77,6 +77,9 @@ def aggregate(outdir, top=30):
                     ev["args"].get("name", "")
         dev_pids = {p for p, n in pid_name.items()
                     if "TPU" in n or "Device" in n or "/device" in n}
+        # collect device-op events per lane, then subtract nested children so
+        # composite ops (conditional/while bodies) are not double-counted
+        lanes = defaultdict(list)
         for ev in events:
             if ev.get("ph") != "X" or "dur" not in ev:
                 continue
@@ -85,13 +88,30 @@ def aggregate(outdir, top=30):
             tname = tid_name.get((ev.get("pid"), ev.get("tid")), "")
             if "XLA Ops" not in tname and "Ops" not in tname:
                 continue
-            args = ev.get("args") or {}
-            src = args.get("source") or ""
-            name = ev.get("name", "")
-            stem = name.split(".")[0].split("(")[0][:40]
-            key = f"{stem} | {src.split('/')[-1][:40]}"
-            ev_by_src[key] += ev["dur"] / 1e3   # ms
-            total += ev["dur"] / 1e3
+            lanes[(ev["pid"], ev.get("tid"))].append(ev)
+        for evs in lanes.values():
+            evs.sort(key=lambda e: (e["ts"], -e["dur"]))
+            stack = []
+            child_time = {}
+            for ev in evs:
+                me = (ev["ts"], ev["ts"] + ev["dur"])
+                while stack and me[0] >= stack[-1][1]:
+                    stack.pop()
+                if stack:
+                    pid = id(stack[-1][2])
+                    child_time[pid] = child_time.get(pid, 0.0) + ev["dur"]
+                stack.append((me[0], me[1], ev))
+            for ev in evs:
+                self_dur = ev["dur"] - child_time.get(id(ev), 0.0)
+                if self_dur <= 0:
+                    continue
+                args = ev.get("args") or {}
+                src = args.get("source") or ""
+                name = ev.get("name", "")
+                stem = name.split(".")[0].split("(")[0][:40]
+                key = f"{stem} | {src.split('/')[-1][:40]}"
+                ev_by_src[key] += self_dur / 1e3   # ms
+                total += self_dur / 1e3
     print(f"device leaf-op ms over 3 steps: {total:.1f} ({total/3:.1f}/step)")
     for k, v in sorted(ev_by_src.items(), key=lambda kv: -kv[1])[:top]:
         print(f"{v/3:9.2f} ms  {k}")

@@ -464,8 +464,16 @@ def sample_volume_zbanded_diff(vol, ndc, band: int = 6, approx=None):
 
     Flow displacements widen the per-sample z spread, so the default band is
     wider; the runtime ``ok`` predicate still lax.cond's to the exact XLA path
-    whenever the band assumption is violated (e.g. large trained flows) —
-    results are ALWAYS correct, the kernel is purely a fast path.
+    whenever the band assumption is violated — results are ALWAYS correct, the
+    kernel is purely a fast path.
+
+    Measured caveat (round 3, tools/probe_trained_flow.py): with the
+    reference's init the tanh flow heads SATURATE — after 3000 flagship steps
+    |sf_z| is bimodal (p50 ≈ 0.002 but p99 ≈ 0.96), and since ``ok`` is an
+    all-points predicate one saturated outlier keeps the fallback selected.
+    Real training therefore runs the (octo-paired, optimized) XLA fallback
+    essentially always; the kernel branch engages only for checkpoints whose
+    flows are globally confined (verified by tools/bench_trained_regime.py).
     """
     D, Hv, Wv, C = vol.shape
     R, S, _ = ndc.shape

@@ -45,33 +45,25 @@ class Conv3dZ2D(nn.Module):
         # data across samples for N > 1 — enforce the single-volume contract
         assert N == 1, f"Conv3dZ2D requires N == 1 (got N={N}); vmap over N"
         xb = x.reshape(N * D, H, W, C)
-        if s == 1:
-            # stride 1: ONE widened conv (3·out channels, k2[..., o·3+dz] =
-            # kernel[dz]) over the unpadded input, then shift-add the OUTPUT
-            # z-taps. The round-2 form padded + 3x z-shift-sliced the INPUT —
-            # ~38 ms/step of pad/slice HBM traffic on conv0's 48-channel
-            # full-res volume (round-3 profile); outputs are ≤6x narrower.
-            k2 = kernel.transpose(1, 2, 3, 4, 0).reshape(3, 3, C,
-                                                         self.out_ch * 3)
-            o = jax.lax.conv_general_dilated(
-                xb, k2, (1, 1), [(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            o = o.reshape(D, o.shape[1], o.shape[2], self.out_ch, 3)
-            op = jnp.pad(o, ((1, 1), (0, 0), (0, 0), (0, 0), (0, 0)))
-            # out[i] = Σ_dz conv(x[i+dz-1], k[dz]) = Σ_dz op[i+dz, ..., dz]
-            out = (op[:D, ..., 0] + op[1:D + 1, ..., 1] + op[2:D + 2, ..., 2])
-            return out.reshape((N, D) + out.shape[1:])
-        # stride 2 (z): inputs at these layers are 8-16x smaller; the padded
-        # z-shifted-slice form reads only the d_out selected rows per tap
-        xp = jnp.pad(xb, ((1, 1), (0, 0), (0, 0), (0, 0)))
-        out = None
-        for dz in range(3):
-            xs = jax.lax.slice(xp, (dz, 0, 0, 0), (dz + (d_out - 1) * s + 1,
-                                                   H, W, C), (s, 1, 1, 1))
-            o = jax.lax.conv_general_dilated(
-                xs, kernel[dz], (s, s), [(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            out = o if out is None else out + o
+        # ONE widened conv (3·out channels, k2[..., o·3+dz] = kernel[dz]) over
+        # the unpadded input, then shift-add the OUTPUT z-taps. The round-2
+        # form padded + 3x z-shift-sliced the INPUT: ~37 ms/step of pad/slice
+        # (+ their transposes) on the sub-128-lane volume layouts (round-3
+        # profile); outputs are up to 6x narrower and the shift-adds fuse.
+        # Stride-2 (z) pays 2x conv FLOPs (all D rows computed, half kept) —
+        # those layers are 8-16x smaller, the pad/slice savings dominate.
+        k2 = kernel.transpose(1, 2, 3, 4, 0).reshape(3, 3, C, self.out_ch * 3)
+        o = jax.lax.conv_general_dilated(
+            xb, k2, (s, s), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        o = o.reshape(D, o.shape[1], o.shape[2], self.out_ch, 3)
+        op = jnp.pad(o, ((1, 1), (0, 0), (0, 0), (0, 0), (0, 0)))
+        # out[i] = Σ_dz conv(x[s·i+dz-1], k[dz]) = Σ_dz op[s·i+dz, ..., dz]
+        def tap(dz):
+            return jax.lax.slice(op, (dz, 0, 0, 0, dz),
+                                 (dz + (d_out - 1) * s + 1,) + op.shape[1:4]
+                                 + (dz + 1,), (s, 1, 1, 1, 1))[..., 0]
+        out = tap(0) + tap(1) + tap(2)
         return out.reshape((N, d_out) + out.shape[1:])
 
 

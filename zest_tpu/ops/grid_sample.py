@@ -151,7 +151,10 @@ def grid_sample_3d_paired(vol, grid):
     volZ2 = jnp.pad(vol, ((1, 1), (1, 1), (1, 1), (0, 0)))
     octants = [volZ2[dz:dz + D + 1, dy:dy + H + 1, dx:dx + W + 1]
                for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
-    volP = jnp.concatenate(octants, -1)              # [D+1, H+1, W+1, 8C]
+    # leading-axis stack (8 contiguous copies) + ONE transpose: a minor-dim
+    # concat made XLA stream the 346 MB build through serial
+    # dynamic-update-slice loops
+    volP = jnp.moveaxis(jnp.stack(octants, 0), 0, 3)  # [D+1, H+1, W+1, 8, C]
     flat = volP.reshape((D + 1) * (H + 1) * (W + 1), 8 * C)
 
     x = _unnormalize(grid[..., 0], W)
