@@ -156,8 +156,10 @@ class ZestConfig:
     render_path: str = "auto"  # wander | spiral | spheric (render_spiral.py)
     # rays per traced eval iteration. The reference's --chunk (1024) is a CUDA
     # memory knob; one TPU chip comfortably renders far larger batches per pass,
-    # and a small chunk serializes the lax.map. 0 = use `chunk`.
-    eval_chunk: int = 8192
+    # and a small chunk serializes the lax.map. 0 = use `chunk`. Swept on a
+    # v5e (tools/bench_eval.py, round 3): 8192→2.81, 16384→2.65 (best),
+    # 24576→2.88, 32768→3.07 s/image at 288x512.
+    eval_chunk: int = 16384
     lpips_weights: Optional[str] = None  # path to LPIPS AlexNet weights (npz)
     log_every: int = 50
     steps_per_epoch: int = 0  # 0 = derive from dataset length
