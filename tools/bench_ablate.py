@@ -1,0 +1,195 @@
+"""Ablation timing of the flagship step: encoder fwd / full fwd / full step.
+
+The trace profiler's leaf attribution over-counts (its per-step sum reads ~2x
+the honest forced-fetch step time — round-3 finding), so this tool measures
+component costs the only way the axon tunnel allows: separate jits, chained
+state, one value fetch per timed window (CLAUDE.md timing rules).
+
+Prints per-mode ms/step:
+  volumes : static+dynamic MVS encoder forward only
+  fwd     : full forward_train (volumes + render + losses), no grad
+  step    : full train step (grad + adam)  — the bench.py number
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+
+def main(modes):
+    from zest_tpu.config import ZestConfig
+    from zest_tpu.data.synthetic import SyntheticDataset
+    from zest_tpu.system import ZestSystem, TrainState, phase_for_step
+
+    cfg = ZestConfig(train_sceneflow=True, use_mvs=True, use_mvs_dy=True,
+                     pad=24, num_keyframes=8, netdepth=8, netwidth=256,
+                     multires=10, multires_views=4, N_samples=128,
+                     batch_size=600, num_extra_samples=512,
+                     use_motion_mask=True, decay_iteration=30,
+                     with_chain_loss=True, pts_embedder=True,
+                     dir_embedder=True, use_viewdirs=True, num_epochs=6000,
+                     raw_noise_std=1.0, img_h=288, img_w=512, precision=16)
+    ds = SyntheticDataset(img_h=288, img_w=512, num_frames=24, num_keyframes=8,
+                          use_mvs=True, use_mvs_dy=True)
+    batch = {k: jnp.asarray(v) for k, v in ds[3].items()}
+    cfg = cfg.replace(warp_band=ds.warp_band_bound(pad=cfg.pad))
+    system = ZestSystem(cfg)
+    params = system.init_params(jax.random.PRNGKey(0), batch)
+    opt = system.make_optimizer(steps_per_epoch=24)
+    state = TrainState(params, opt.init(params), jnp.asarray(0))
+    step_fn = system.make_train_step(opt)
+    phase = phase_for_step(cfg, 0)
+    rng = jax.random.PRNGKey(1)
+
+    n_steps = 50
+
+    def timed(name, fn, chain0):
+        # warmup/compile, then one fetch; chain state across iterations so the
+        # tunnel cannot memoize; end with a value fetch (forces the chain)
+        chain = fn(chain0)
+        jax.tree_util.tree_map(
+            lambda x: float(jnp.asarray(x).reshape(-1)[0]),
+            jax.tree_util.tree_leaves(chain)[0])
+        t0 = time.perf_counter()
+        chain = chain0
+        for _ in range(n_steps):
+            chain = fn(chain)
+        float(jnp.asarray(jax.tree_util.tree_leaves(chain)[0]).reshape(-1)[0])
+        dt = (time.perf_counter() - t0) / n_steps * 1e3
+        print(f"{name:8s} {dt:8.1f} ms/step")
+
+    if "volumes" in modes:
+        @jax.jit
+        def vol_fn(p):
+            sv, dv = system._encode_volumes(p, batch)
+            # tiny perturbation chains params so results can't memoize
+            eps = (jnp.mean(sv) + jnp.mean(dv)) * 1e-12
+            return jax.tree_util.tree_map(lambda a: a + eps.astype(a.dtype), p)
+        timed("volumes", vol_fn, params)
+
+    if "fwd" in modes:
+        @jax.jit
+        def fwd_fn(carry):
+            p, k = carry
+            k2 = jax.random.fold_in(k, 1)
+            ret, rays, aux = system.forward_train(p, batch, k2, phase,
+                                                 jnp.asarray(0))
+            loss = ret["rgb_map"].sum()
+            eps = loss * 1e-12
+            return (jax.tree_util.tree_map(
+                lambda a: a + eps.astype(a.dtype), p), k2)
+        timed("fwd", fwd_fn, (params, rng))
+
+    if "fwd_all" in modes:
+        @jax.jit
+        def fwd_all_fn(carry):
+            p, k = carry
+            k2 = jax.random.fold_in(k, 1)
+            ret, rays, aux = system.forward_train(p, batch, k2, phase,
+                                                  jnp.asarray(0))
+            # consume EVERY output so nothing dead-code-eliminates (the t±1
+            # scene-flow passes feed only the sf losses)
+            tot = sum(jnp.sum(v.astype(jnp.float32)) for v in
+                      jax.tree_util.tree_leaves(ret) if v.dtype != jnp.int32)
+            eps = tot * 1e-12
+            return (jax.tree_util.tree_map(
+                lambda a: a + eps.astype(a.dtype), p), k2)
+        timed("fwd_all", fwd_all_fn, (params, rng))
+
+    if "step_novolgrad" in modes:
+        # stop_gradient after the volumes: backward skips the whole MVS
+        # encoder (FeatureNet + plane-sweep warp + variance + U-Net) — the
+        # difference vs "step" isolates the encoder backward cost
+        orig = system._encode_volumes
+
+        def sg_vols(p, b):
+            sv, dv = orig(p, b)
+            sg = jax.lax.stop_gradient
+            return (sg(sv) if sv is not None else None,
+                    sg(dv) if dv is not None else None)
+
+        system._encode_volumes = sg_vols
+        step_ng = system.make_train_step(opt)
+
+        def step1ng(st):
+            st2, _ = step_ng(st, batch, rng, phase)
+            return st2
+        # NOTE: restore only AFTER timing — jit traces lazily at first call
+        timed("step_novolgrad", step1ng, state)
+        system._encode_volumes = orig
+
+    if "step_nocvgrad" in modes:
+        # stop_gradient on the raw COST VOLUMES (U-Net inputs): the remaining
+        # encoder backward is the two 3D U-Nets only — the difference vs
+        # "step_novolgrad" isolates warp+variance+FeatureNet backward
+        from zest_tpu.models import mvsnet as _mv
+        orig_bcv = _mv.build_cost_volume
+
+        def sg_bcv(*a, **k):
+            return jax.lax.stop_gradient(orig_bcv(*a, **k))
+
+        _mv.build_cost_volume = sg_bcv
+        step_nc = system.make_train_step(opt)
+
+        def step1nc(st):
+            st2, _ = step_nc(st, batch, rng, phase)
+            return st2
+        timed("step_nocvgrad", step1nc, state)
+        _mv.build_cost_volume = orig_bcv
+
+    if "step_fakewarpbwd" in modes:
+        # replace the plane-sweep warp's backward with a cheap broadcast
+        # cotangent: FeatureNet bwd and the variance-chain bwd still run at
+        # full cost (their cotangents are consumed), but the banded adjoint
+        # kernel is skipped — the difference vs "step" isolates the warp bwd
+        from zest_tpu.kernels import plane_sweep as _ps
+        orig_cm = _ps.homo_warp_fast_cm
+
+        def fake_cm(src, *a, **k):
+            out, grid = orig_cm(jax.lax.stop_gradient(src), *a, **k)
+            out = out + (1e-30 * jnp.mean(src)).astype(out.dtype)
+            return out, grid
+
+        _ps.homo_warp_fast_cm = fake_cm
+        step_fw = system.make_train_step(opt)
+
+        def step1fw(st):
+            st2, _ = step_fw(st, batch, rng, phase)
+            return st2
+        timed("step_fakewarpbwd", step1fw, state)
+        _ps.homo_warp_fast_cm = orig_cm
+
+    if "step_nodvolgrad" in modes:
+        # stop_gradient on the VOLUME argument of the flow-warped sampler:
+        # backward keeps coordinate (flow) gradients but drops the octo-paired
+        # d_vol wide-row scatter — isolates that scatter's backward cost
+        from zest_tpu.kernels import trilinear as _tri
+        orig_diff = _tri.sample_volume_zbanded_diff
+
+        def sg_diff(vol, ndc, band=6, approx=None, paired=None):
+            return orig_diff(jax.lax.stop_gradient(vol), ndc, band=band,
+                             approx=approx,
+                             paired=(None if paired is None
+                                     else jax.lax.stop_gradient(paired)))
+
+        _tri.sample_volume_zbanded_diff = sg_diff
+        step_nd = system.make_train_step(opt)
+
+        def step1nd(st):
+            st2, _ = step_nd(st, batch, rng, phase)
+            return st2
+        timed("step_nodvolgrad", step1nd, state)
+        _tri.sample_volume_zbanded_diff = orig_diff
+
+    if "step" in modes:
+        def step1(st):
+            st2, _ = step_fn(st, batch, rng, phase)
+            return st2
+        timed("step", step1, state)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ["volumes", "fwd", "step"])

@@ -167,6 +167,10 @@ def _fwd_kernel(src_ref, ints_ref, flts_ref, out_ref, *, band, h, w, approx):
     src: [C, h, w] channel-major (band slice reshapes without transpose).
     Per chunk: M[(c,b),px] = (src_band[C·B, w] @ X2[w, px]) — one MXU matmul —
     then out[c,px] = Σ_b M[(c,b),px]·vy[b,px] on the VPU.
+
+    A lane-gather formulation (two Mosaic take_along_axis per chunk replacing
+    the 2/128-sparse X2 matmul) measured 3,694 vs 3,832 rays/s in the full
+    step — the MXU matmul wins; rejected (BENCH_NOTES round 3).
     """
     C = src_ref.shape[0]
     NC = ints_ref.shape[1]
@@ -288,6 +292,27 @@ def supports_pallas_warp(src_feat) -> bool:
     return src_feat.shape[1] == LANES
 
 
+def _warp_core_call(src_feat, proj_mat, depth_values, pad: int, band: int):
+    """Shared front half: taps + kernel call. Returns (out [D,NC,Cp,128], grid,
+    nc, Cp)."""
+    h, w, C = src_feat.shape
+    # sublane-align the band: a size-3 dynamic slice measured 2.3x SLOWER than
+    # size-16 (Mosaic sub-tile masking); multiples of 8 keep slices tile-shaped
+    band = min(_round_up(max(band, 1), 8), h)
+    grid = homography_grid(proj_mat, depth_values, (h, w), pad=pad)
+
+    ints, flts, nc = _precompute_taps(grid, h, w, band)
+    # bf16 upstream features carry no extra precision to preserve → run the MXU
+    # matmuls in 1-pass bf16 (6x fewer passes than exact-f32); exact otherwise
+    approx = src_feat.dtype == jnp.bfloat16
+    src_cm = jnp.moveaxis(src_feat.astype(jnp.float32), -1, 0)   # [C, h, w]
+    Cp = _round_up(C, 8)
+    src_cm = jnp.pad(src_cm, ((0, Cp - C), (0, 0), (0, 0)))
+
+    out = _warp_core(src_cm, (ints, flts), (h, w), band, approx)  # [D,NC,Cp,128]
+    return out, grid, nc, Cp
+
+
 def homo_warp_fast(src_feat, proj_mat, depth_values, pad: int = 0,
                    band: int = 16):
     """Accelerated ``homo_warp`` with identical semantics (MXU banded matmuls).
@@ -306,23 +331,46 @@ def homo_warp_fast(src_feat, proj_mat, depth_values, pad: int = 0,
             f"the XLA warp (slower). The Pallas kernel needs W/4 == 128 "
             f"(e.g. 288x512 inputs).", stacklevel=2)
         return homo_warp_xla(src_feat, proj_mat, depth_values, pad=pad)
-    # sublane-align the band: a size-3 dynamic slice measured 2.3x SLOWER than
-    # size-16 (Mosaic sub-tile masking); multiples of 8 keep slices tile-shaped
-    band = min(_round_up(max(band, 1), 8), h)
-    grid = homography_grid(proj_mat, depth_values, (h, w), pad=pad)
+    out, grid, nc, Cp = _warp_core_call(src_feat, proj_mat, depth_values, pad,
+                                        band)
     D, Hp, Wp, _ = grid.shape
-
-    ints, flts, nc = _precompute_taps(grid, h, w, band)
-    # bf16 upstream features carry no extra precision to preserve → run the MXU
-    # matmuls in 1-pass bf16 (6x fewer passes than exact-f32); exact otherwise
-    approx = src_feat.dtype == jnp.bfloat16
-    src_cm = jnp.moveaxis(src_feat.astype(jnp.float32), -1, 0)   # [C, h, w]
-    Cp = _round_up(C, 8)
-    src_cm = jnp.pad(src_cm, ((0, Cp - C), (0, 0), (0, 0)))
-
-    out = _warp_core(src_cm, (ints, flts), (h, w), band, approx)  # [D,NC,Cp,128]
     out = jnp.moveaxis(out, 2, 3).reshape(D, nc * LANES, Cp)[:, :Hp * Wp, :C]
     return out.reshape(D, Hp, Wp, C).astype(src_feat.dtype), grid
+
+
+def supports_pallas_warp_cm(src_feat) -> bool:
+    return src_feat.shape[1] == LANES
+
+
+def homo_warp_fast_cm(src_feat, proj_mat, depth_values, pad: int = 0,
+                      band: int = 16):
+    """``homo_warp_fast`` emitting CHANNEL-MAJOR output [D, C, Hp·Wp].
+
+    Skips the per-view minor-dim transpose of the channels-last form: the
+    kernel's native [D, NC, Cp, 128] block layout reshapes to channel-major
+    with only an NC↔Cp *block* swap (whole 128-lane rows move; no element
+    shuffles). Consumers (cost-volume variance accumulation) are elementwise
+    and layout-agnostic, and a channel-major volume has a dense 128-multiple
+    minor dim instead of a 41-lane-padded channel minor. Caller must ensure
+    width == 128 (check ``supports_pallas_warp_cm``).
+
+    Returns (warped_cm [D, C, Hp·Wp] f32, grid [D, Hp, Wp, 2]).
+    """
+    h, w, C = src_feat.shape
+    if w != LANES:
+        import warnings
+        warnings.warn(
+            f"homo_warp_fast_cm: feature width {w} != {LANES}; falling back "
+            f"to the XLA warp (slower).", stacklevel=2)
+        warped, grid = homo_warp_xla(src_feat, proj_mat, depth_values, pad=pad)
+        D, Hp, Wp, _ = grid.shape
+        return (jnp.moveaxis(warped, -1, 1).reshape(D, C, Hp * Wp)
+                .astype(jnp.float32), grid)
+    out, grid, nc, Cp = _warp_core_call(src_feat, proj_mat, depth_values, pad,
+                                        band)
+    D, Hp, Wp, _ = grid.shape
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(D, Cp, nc * LANES)
+    return out[:, :src_feat.shape[2], :Hp * Wp], grid
 
 
 def warp_band_bound_host(proj_mat, near, far, h: int, w: int, pad: int = 0,

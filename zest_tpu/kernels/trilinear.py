@@ -456,7 +456,23 @@ def _core_d_bwd(dims, res, g):
 _core_d.defvjp(_core_d_fwd, _core_d_bwd)
 
 
-def sample_volume_zbanded_diff(vol, ndc, band: int = 6, approx=None):
+def prepare_warped_paired(vol, approx=None):
+    """Build the octo-paired super-volume ONCE for a volume that will be
+    sampled several times per step at flow-warped sites (t±1 + chain passes).
+
+    Pass the result as ``paired=`` to every ``sample_volume_zbanded_diff`` call
+    on the same volume: each build is ~350 MB of HBM traffic, and without
+    hoisting it is repeated inside every call's lax.cond body (where XLA
+    cannot CSE across conds). The cast here must match the xla_path cast.
+    """
+    from ..ops.grid_sample import paired_volume
+    if approx is None:
+        approx = vol.dtype == jnp.bfloat16
+    return paired_volume(vol.astype(jnp.bfloat16) if approx else vol)
+
+
+def sample_volume_zbanded_diff(vol, ndc, band: int = 6, approx=None,
+                               paired=None):
     """Like ``sample_volume_zbanded`` but differentiable w.r.t. ``ndc`` too —
     for scene-flow-WARPED sample sites (renderer.py:462-507), whose coordinates
     carry flow gradients. The backward computes d/d vol with the adjoint kernel
@@ -486,22 +502,27 @@ def sample_volume_zbanded_diff(vol, ndc, band: int = 6, approx=None):
         approx = vol.dtype == jnp.bfloat16
     dims = (D, Hv, Wv, C, band, S, NC, bool(approx), R)
 
+    if paired is None:
+        paired = prepare_warped_paired(vol, approx)
+
     def kern_path(operands):
-        vol, ndc = operands
+        vol, ndc, _paired = operands
         volR = vol.astype(jnp.bfloat16 if approx else jnp.float32) \
             .reshape(D, Hv, Wv * C)
         out = _core_d(dims, volR, ndc)
         return jnp.moveaxis(out.reshape(S, NC * LANES, C), 0, 1)[:R]
 
     def xla_path(operands):
-        vol, ndc = operands
+        vol, ndc, paired = operands
         # octo-paired wide-row gather (ops/grid_sample.grid_sample_3d_paired):
         # one 8C-wide gather per point instead of 8 C-wide — measured 306 →
         # 133 ms fwd+bwd for the flagship's 427k warped sites (bit-exact).
         # approx: gather AND the autodiff scatter-add (d_vol) run in bf16 —
-        # matches the kernel path's bf16 matmuls
+        # matches the kernel path's bf16 matmuls. The paired build is hoisted
+        # out of the cond so the t±1 + chain calls on one volume share it.
         from ..ops.grid_sample import grid_sample_3d_paired
         v = vol.astype(jnp.bfloat16) if approx else vol
-        return grid_sample_3d_paired(v, ndc * 2.0 - 1.0).astype(jnp.float32)
+        return grid_sample_3d_paired(v, ndc * 2.0 - 1.0,
+                                     paired=paired).astype(jnp.float32)
 
-    return jax.lax.cond(ok, kern_path, xla_path, (vol, ndc))
+    return jax.lax.cond(ok, kern_path, xla_path, (vol, ndc, paired))

@@ -52,17 +52,21 @@ class Conv3dZ2D(nn.Module):
         # profile); outputs are up to 6x narrower and the shift-adds fuse.
         # Stride-2 (z) pays 2x conv FLOPs (all D rows computed, half kept) —
         # those layers are 8-16x smaller, the pad/slice savings dominate.
-        k2 = kernel.transpose(1, 2, 3, 4, 0).reshape(3, 3, C, self.out_ch * 3)
+        # kz-major widened channels ([dz·out + o]): keeps the shift-add
+        # operands 4D with a dense 3·out-lane minor — the 5D [.., out, 3] form
+        # ran its pads/slices on a minor-3 tile layout (42x lane-pad waste;
+        # ~68 ms of pad/slice in the round-3 step profile)
+        k2 = kernel.transpose(1, 2, 3, 0, 4).reshape(3, 3, C, self.out_ch * 3)
         o = jax.lax.conv_general_dilated(
             xb, k2, (s, s), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        o = o.reshape(D, o.shape[1], o.shape[2], self.out_ch, 3)
-        op = jnp.pad(o, ((1, 1), (0, 0), (0, 0), (0, 0), (0, 0)))
-        # out[i] = Σ_dz conv(x[s·i+dz-1], k[dz]) = Σ_dz op[s·i+dz, ..., dz]
+        op = jnp.pad(o, ((1, 1), (0, 0), (0, 0), (0, 0)))
+        oc = self.out_ch
+        # out[i] = Σ_dz conv(x[s·i+dz-1], k[dz]) = Σ_dz op[s·i+dz, ..., blk dz]
         def tap(dz):
-            return jax.lax.slice(op, (dz, 0, 0, 0, dz),
-                                 (dz + (d_out - 1) * s + 1,) + op.shape[1:4]
-                                 + (dz + 1,), (s, 1, 1, 1, 1))[..., 0]
+            return jax.lax.slice(op, (dz, 0, 0, dz * oc),
+                                 (dz + (d_out - 1) * s + 1,) + op.shape[1:3]
+                                 + ((dz + 1) * oc,), (s, 1, 1, 1))
         out = tap(0) + tap(1) + tap(2)
         return out.reshape((N, d_out) + out.shape[1:])
 

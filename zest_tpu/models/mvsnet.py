@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from .feature_net import FeatureNet
 from .cost_reg import CostRegNet
-from ..ops.homography import homo_warp, identity_warp, in_bounds_mask
+from ..ops.homography import homo_warp, identity_warp_cm, in_bounds_mask
 
 N_DEPTH_PLANES = 128  # hardcoded in the reference (networks.py:1192)
 
@@ -58,10 +58,20 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
     V, h, w, C = feats.shape
     D = depth_values.shape[0]
     hp, wp = h + 2 * pad, w + 2 * pad
+    Px = hp * wp
+
+    # CHANNEL-MAJOR pipeline [D, C, Px]: the variance chain is elementwise, so
+    # layout is free to choose — channel-major keeps the minor dim a dense
+    # multiple of 128 lanes (vs a 41-lane-padded channel minor that wastes 3x
+    # of every tile) and lets the Pallas warp kernel emit its native block
+    # layout with no per-view minor transpose. One transpose back to NHWC at
+    # the end feeds the 3D U-Net.
+    def cm(x_hwc):                     # [hp, wp, c] -> [c, Px]
+        return jnp.moveaxis(x_hwc, -1, 0).reshape(x_hwc.shape[-1], Px)
 
     # --- reference view ---
-    ref_feats = jnp.pad(feats[0], ((pad, pad), (pad, pad), (0, 0)))
-    ref_volume = jnp.broadcast_to(ref_feats[None], (D, hp, wp, C))
+    ref_feats = cm(jnp.pad(feats[0], ((pad, pad), (pad, pad), (0, 0))))
+    ref_volume = jnp.broadcast_to(ref_feats[None], (D, C, Px))
 
     # images downsampled to feature resolution (align_corners=False bilinear,
     # networks.py:1101). antialias=False: torch F.interpolate(bilinear) does NOT
@@ -69,53 +79,56 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
     # ~1.4 max abs on the RGB cost channels (caught by test_parity_oracle).
     imgs_small = jax.image.resize(imgs, (V, h, w, 3), method="linear",
                                   antialias=False)
-    ref_img = jnp.pad(imgs_small[0], ((pad, pad), (pad, pad), (0, 0)))
-    ref_img = jnp.broadcast_to(ref_img[None], (D, hp, wp, 3))
+    ref_img = cm(jnp.pad(imgs_small[0], ((pad, pad), (pad, pad), (0, 0))))
+    ref_img = jnp.broadcast_to(ref_img[None], (D, 3, Px))
 
     volume_sum = ref_volume
     volume_sq_sum = ref_volume ** 2
-    mask_sum = jnp.ones((D, hp, wp), feats.dtype)  # ref view always in bounds
+    mask_sum = jnp.ones((D, 1, Px), feats.dtype)  # ref view always in bounds
 
     warped_rgb = [ref_img]
     n_src = V - 1
     D_planes = depth_values.shape[0]
     for i in range(n_src):
         if identity_src_warp:
-            # gather-free fast path (see ops.homography.identity_warp): exact for
-            # the dynamic volume whose neighbour proj_mats are identity
-            warped_feat, mask = identity_warp(feats[i + 1], D_planes, pad=pad)
+            # gather-free fast path (see ops.homography.identity_warp_cm):
+            # exact for the dynamic volume whose neighbour proj_mats are identity
+            warped_feat, mask = identity_warp_cm(feats[i + 1], D_planes, pad=pad)
             if i < 2:
-                warped_img, _ = identity_warp(imgs_small[i + 1], D_planes, pad=pad)
+                warped_img, _ = identity_warp_cm(imgs_small[i + 1], D_planes,
+                                                 pad=pad)
                 warped_rgb.append(warped_img)
         else:
             if use_pallas_warp:
-                # MXU banded-matmul kernel (kernels/plane_sweep.py); falls back
-                # to the XLA gather path when the feature width is not 128.
-                # Img channels ride along in the same call (shared tap data +
-                # interpolation matrices) instead of a second kernel launch.
-                # Under precision 16 this warps the reference-quirk RGB
-                # conditioning channels in bf16 too (the kernel's approx mode
-                # follows src dtype) — accepted rounding of the opt-in bf16
-                # mode, documented in CLAUDE.md invariants.
-                from ..kernels.plane_sweep import homo_warp_fast
+                # MXU banded lane-gather kernel (kernels/plane_sweep.py); falls
+                # back to the XLA gather path when the feature width is not 128.
+                # Img channels ride along in the same call (shared tap data)
+                # instead of a second kernel launch. Under precision 16 this
+                # warps the reference-quirk RGB conditioning channels through
+                # the kernel too — accepted rounding of the opt-in bf16 mode,
+                # documented in CLAUDE.md invariants.
+                from ..kernels.plane_sweep import homo_warp_fast_cm
                 src = feats[i + 1]
                 if i < 2:
                     src = jnp.concatenate(
                         [src, imgs_small[i + 1].astype(src.dtype)], axis=-1)
-                warped, grid = homo_warp_fast(src, proj_mats[i + 1],
-                                              depth_values, pad=pad,
-                                              band=warp_band)
-                warped_feat = warped[..., :C]
+                warped, grid = homo_warp_fast_cm(src, proj_mats[i + 1],
+                                                 depth_values, pad=pad,
+                                                 band=warp_band)
+                warped = warped.astype(src.dtype)
+                warped_feat = warped[:, :C]
                 if i < 2:
-                    warped_rgb.append(warped[..., C:].astype(imgs_small.dtype))
+                    warped_rgb.append(warped[:, C:].astype(imgs_small.dtype))
             else:
                 warp = lambda f, **kw: homo_warp(f, proj_mats[i + 1],
                                                  depth_values, pad=pad, **kw)
-                warped_feat, grid = warp(feats[i + 1])
+                wf, grid = warp(feats[i + 1])
+                warped_feat = jnp.moveaxis(wf, -1, 1).reshape(D, C, Px)
                 if i < 2:
                     warped_img, _ = warp(imgs_small[i + 1], src_grid=grid)
-                    warped_rgb.append(warped_img)
-            mask = in_bounds_mask(grid)
+                    warped_rgb.append(
+                        jnp.moveaxis(warped_img, -1, 1).reshape(D, 3, Px))
+            mask = in_bounds_mask(grid).reshape(D, 1, Px)
         mask_sum = mask_sum + mask
         volume_sum = volume_sum + warped_feat
         volume_sq_sum = volume_sq_sum + warped_feat ** 2
@@ -123,10 +136,12 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
     while len(warped_rgb) < 3:  # V<3: reference leaves these channels uninitialized
         warped_rgb.append(jnp.zeros_like(ref_img))
 
-    count = 1.0 / mask_sum[..., None]
+    count = 1.0 / mask_sum
     variance = volume_sq_sum * count - (volume_sum * count) ** 2
 
-    cost_vol = jnp.concatenate(warped_rgb + [variance], axis=-1)
+    cost_cm = jnp.concatenate(warped_rgb + [variance], axis=1)  # [D, 9+C, Px]
+    # single NHWC transpose for the 3D U-Net (was one minor transpose per view)
+    cost_vol = jnp.swapaxes(cost_cm, 1, 2).reshape(D, hp, wp, 9 + C)
     # per-view masks (returned for return_color paths, networks.py:1204-1205)
     return cost_vol
 

@@ -120,7 +120,35 @@ def grid_sample_3d(vol, grid, padding_mode: str = "zeros"):
     return out
 
 
-def grid_sample_3d_paired(vol, grid):
+def paired_volume(vol):
+    """Octo-paired super-volume build for ``grid_sample_3d_paired``.
+
+    Returns flat [(D+1)·(H+1)·(W+1), 8·C] with row (z, y, x) holding the 8
+    corner taps vol[z-1..z, y-1..y, x-1..x] (zero slabs at the -1 borders).
+    Factored out so callers that sample the SAME volume several times per step
+    (the t±1 scene-flow-warped lookups + chain re-render) build it ONCE and
+    share it — each build is ~350 MB of HBM traffic and the builds sit inside
+    separate lax.cond bodies where XLA cannot CSE them.
+    """
+    D, H, W, C = vol.shape
+    # leading zero slab per axis: a point just OUTSIDE the volume whose +1 tap
+    # is the first slice (floor = -1, frequent for flow-warped coords) must
+    # gather a row whose pair halves are (0, vol[0]) — clamping the row to 0
+    # would silently substitute vol[1] for the +1 tap. One trailing pad too, so
+    # every octant below is a static slice of the same padded array.
+    # NOTE: built as ONE 8-way leading-axis stack of static slices + ONE
+    # transpose — a minor-dim concat (and a pair-of-pairs chain) made XLA
+    # lower the 346 MB build into serial while/dynamic-update-slice streams
+    # (~36 ms/step, round-3 profile); an 8x one-hot-MXU accumulate measured
+    # slower end-to-end (BENCH_NOTES round 3).
+    volZ2 = jnp.pad(vol, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    octants = [volZ2[dz:dz + D + 1, dy:dy + H + 1, dx:dx + W + 1]
+               for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
+    volP = jnp.moveaxis(jnp.stack(octants, 0), 0, 3)  # [D+1, H+1, W+1, 8, C]
+    return volP.reshape((D + 1) * (H + 1) * (W + 1), 8 * C)
+
+
+def grid_sample_3d_paired(vol, grid, paired=None):
     """Trilinear 3D sampling via ONE wide gather per point ("zeros" mode).
 
     Identical taps/weights to ``grid_sample_3d`` (bit-exact, verified on a
@@ -132,30 +160,15 @@ def grid_sample_3d_paired(vol, grid):
     bench_warped_gather.py). The autodiff VJP scatters the same wide rows and
     folds back through the (cheap, elementwise) pairing shifts.
 
-    HBM cost: volP is 8x the volume (~350 MB bf16 at flagship scale, built in
-    ~0.5 ms) — the trade is decisively won by the gather/scatter savings.
+    HBM cost: volP is 8x the volume (~350 MB bf16 at flagship scale) — the
+    trade is decisively won by the gather/scatter savings. Pass ``paired`` =
+    ``paired_volume(vol)`` to share one build across several sample calls.
 
     Args: vol [D, H, W, C]; grid [..., 3] (x, y, z) in [-1, 1].
     Returns: [..., C]
     """
     D, H, W, C = vol.shape
-
-    # leading zero slab per axis: a point just OUTSIDE the volume whose +1 tap
-    # is the first slice (floor = -1, frequent for flow-warped coords) must
-    # gather a row whose pair halves are (0, vol[0]) — clamping the row to 0
-    # would silently substitute vol[1] for the +1 tap. One trailing pad too, so
-    # every octant below is a static slice of the same padded array.
-    # NOTE: built as ONE 8-way concat of static slices — a nested
-    # pair-of-pairs chain made XLA lower the 346 MB build into serial
-    # while/dynamic-update-slice streams (~36 ms/step, round-3 profile).
-    volZ2 = jnp.pad(vol, ((1, 1), (1, 1), (1, 1), (0, 0)))
-    octants = [volZ2[dz:dz + D + 1, dy:dy + H + 1, dx:dx + W + 1]
-               for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
-    # leading-axis stack (8 contiguous copies) + ONE transpose: a minor-dim
-    # concat made XLA stream the 346 MB build through serial
-    # dynamic-update-slice loops
-    volP = jnp.moveaxis(jnp.stack(octants, 0), 0, 3)  # [D+1, H+1, W+1, 8, C]
-    flat = volP.reshape((D + 1) * (H + 1) * (W + 1), 8 * C)
+    flat = paired_volume(vol) if paired is None else paired
 
     x = _unnormalize(grid[..., 0], W)
     y = _unnormalize(grid[..., 1], H)

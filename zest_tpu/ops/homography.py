@@ -102,6 +102,27 @@ def identity_warp(src_feat, n_planes: int, pad: int = 0):
     return warped, mask
 
 
+def identity_warp_cm(src_feat, n_planes: int, pad: int = 0):
+    """``identity_warp`` in CHANNEL-MAJOR form: (warped [D, C, Hp·Wp],
+    mask [D, 1, Hp·Wp]).
+
+    Same exact semantics; the channel-major layout keeps the cost-volume
+    variance chain's minor dim a dense multiple of 128 lanes instead of a
+    C-lane-padded channel minor (see models.mvsnet.build_cost_volume).
+    """
+    H, W, C = src_feat.shape
+    padded = jnp.pad(src_feat, ((pad, pad), (pad, pad), (0, 0)))
+    Hp, Wp = H + 2 * pad, W + 2 * pad
+    cmf = jnp.moveaxis(padded, -1, 0).reshape(C, Hp * Wp)
+    warped = jnp.broadcast_to(cmf[None], (n_planes, C, Hp * Wp))
+    ys = jnp.arange(Hp) - pad
+    xs = jnp.arange(Wp) - pad
+    my = ((ys > 0) & (ys < H - 1)).astype(src_feat.dtype)
+    mx = ((xs > 0) & (xs < W - 1)).astype(src_feat.dtype)
+    mask = (my[:, None] * mx[None, :]).reshape(1, 1, Hp * Wp)
+    return warped, jnp.broadcast_to(mask, (n_planes, 1, Hp * Wp))
+
+
 def in_bounds_mask(grid):
     """Strict in-bounds mask of a normalized grid: both coords in (-1, 1).
 

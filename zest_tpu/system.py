@@ -229,7 +229,7 @@ class ZestSystem:
         col_order = "r_major" if train else "s_major"
         col_band = cfg.color_band_train if train else 16
 
-        def sample_vol(vol, ndc, banded: bool):
+        def sample_vol(vol, ndc, banded: bool, paired=None):
             """Volume lookup: Pallas z-banded kernel for unwarped sample sites;
             the coordinate-differentiable variant (wider band) for scene-flow-
             warped sites whose ndc carries flow gradients. Both are self-guarded
@@ -247,7 +247,7 @@ class ZestSystem:
                                                  approx=approx)
                 return sample_volume_zbanded_diff(vol, ndc,
                                                   band=cfg.z_band_warped,
-                                                  approx=approx)
+                                                  approx=approx, paired=paired)
             return render.sample_volume_features(vol, ndc)
 
         def field_fn(field, field_params):
@@ -299,6 +299,11 @@ class ZestSystem:
 
         dynamic_vol_fn = dynamic_col_fn = None
         if dyn_vol is not None:
+            # NOTE: hoisting ONE shared octo-paired super-volume build across
+            # the warped sample calls (prepare_warped_paired) measured 3,776
+            # vs 3,858 rays/s — only 2 warped calls/step exist (t±1 stacked +
+            # chain) and the extended ~350 MB liveness costs more than the one
+            # deduped build. Each call builds its own (BENCH_NOTES round 3).
             def dynamic_vol_fn(ndc, banded=False):
                 return sample_vol(dyn_vol, ndc, banded)
 
