@@ -50,7 +50,7 @@ def main():
 
     # the exact host-side warp-band preflight, as run by the real NSFF loader
     # at dataset init (data/nsff.py:240) — static kernel band per dataset
-    cfg = cfg.replace(warp_band=ds.warp_band_bound(pad=cfg.pad))
+    cfg = cfg.replace(warp_band=ds.warp_band_bound(pad=cfg.pad, group=cfg.warp_group))
 
     system = ZestSystem(cfg)
     params = system.init_params(jax.random.PRNGKey(0), batch)

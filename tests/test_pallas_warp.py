@@ -50,6 +50,40 @@ def test_pallas_warp_gradient_is_exact_adjoint():
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-4)
 
 
+def test_pallas_warp_grouped_chunks_match():
+    """group>1 (wider chunks per matmul) is exact given a group-aware band:
+    values AND adjoint must match the group=1 kernel/XLA oracle."""
+    import jax
+    rng = np.random.default_rng(7)
+    feat = jnp.asarray(rng.normal(size=(16, 128, 3)).astype(np.float32))
+    dv = jnp.linspace(2.0, 6.0, 3)
+    proj = _proj()
+    ref, _ = homo_warp(feat, proj, dv, pad=2)
+    for group in (2, 4):
+        grid = homography_grid(proj, dv, (16, 128), pad=2)
+        band = int(required_band(grid, 16, 128, gp=group * 128))
+        out, _ = homo_warp_fast(feat, proj, dv, pad=2, band=band, group=group)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    g = jnp.asarray(rng.normal(size=ref.shape).astype(np.float32))
+    gx = jax.grad(lambda f: jnp.vdot(homo_warp(f, proj, dv, pad=2)[0], g))(feat)
+    gp_ = jax.grad(lambda f: jnp.vdot(
+        homo_warp_fast(f, proj, dv, pad=2, band=16, group=4)[0], g))(feat)
+    np.testing.assert_allclose(np.asarray(gp_), np.asarray(gx), atol=1e-4)
+
+
+def test_band_bound_host_covers_grouped_required_band():
+    """The host bound with group=G must dominate the traced required_band at
+    chunk width G·128 (the preflight feeds grouped kernels)."""
+    from zest_tpu.kernels.plane_sweep import warp_band_bound_host
+    dv = jnp.linspace(2.0, 6.0, 3)
+    for group in (1, 2, 4):
+        grid = homography_grid(_proj(), dv, (32, 128), pad=4)
+        req = int(required_band(grid, 32, 128, gp=group * 128))
+        bound = warp_band_bound_host(np.asarray(_proj()), 2.0, 6.0, 32, 128,
+                                     pad=4, group=group)
+        assert bound >= req, (group, bound, req)
+
+
 def test_required_band_is_sufficient():
     dv = jnp.linspace(2.0, 6.0, 3)
     grid = homography_grid(_proj(), dv, (8, 128), pad=2)

@@ -130,7 +130,7 @@ class _FakeDS:
     def __init__(self, bound):
         self._bound = bound
 
-    def warp_band_bound(self, pad=24):
+    def warp_band_bound(self, pad=24, group=1):
         return self._bound
 
 

@@ -34,7 +34,7 @@ def main(chunks):
     ds = SyntheticDataset(img_h=288, img_w=512, num_frames=24, num_keyframes=8,
                           use_mvs=True, use_mvs_dy=True)
     batch = {k: jnp.asarray(v) for k, v in ds[3].items()}
-    base = base.replace(warp_band=ds.warp_band_bound(pad=base.pad))
+    base = base.replace(warp_band=ds.warp_band_bound(pad=base.pad, group=base.warp_group))
 
     for chunk in chunks:
         cfg = base.replace(eval_chunk=chunk)

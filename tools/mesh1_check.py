@@ -30,7 +30,7 @@ def run(mesh_shape):
     ds = SyntheticDataset(img_h=288, img_w=512, num_frames=24, num_keyframes=8,
                           use_mvs=True, use_mvs_dy=True)
     batch = {k: jnp.asarray(v) for k, v in ds[3].items()}
-    cfg = cfg.replace(warp_band=ds.warp_band_bound(pad=cfg.pad))
+    cfg = cfg.replace(warp_band=ds.warp_band_bound(pad=cfg.pad, group=cfg.warp_group))
 
     system = ZestSystem(cfg)
     params = system.init_params(jax.random.PRNGKey(0), batch)

@@ -137,6 +137,8 @@ class ZestConfig:
     bf16: bool = False  # compute-dtype policy for the encoder CNNs
     use_pallas_warp: bool = True  # MXU banded-matmul plane-sweep kernel
     warp_band: int = 16  # static source-row band; must cover required_band()
+    warp_group: int = 4  # warp-kernel chunks-per-matmul (group·128-px chunks);
+                         # the band preflight accounts for the group width
     use_pallas_trilinear: bool = True  # z-banded volume-sampling kernel
     z_band: int = 3  # depth-slice band per sample index (3 when S == n_planes)
     # scene-flow-warped sites: flows widen the per-sample z spread, so the

@@ -237,7 +237,7 @@ class NSFFDataset:
                 [np.eye(4, dtype=np.float32)[:3] for _ in nbs])
         return sample
 
-    def warp_band_bound(self, feat_h=None, feat_w=None, pad=24):
+    def warp_band_bound(self, feat_h=None, feat_w=None, pad=24, group=1):
         """Host-side exact band bound for the Pallas plane-sweep kernel over
         every (reference keyframe, source view) pair of every scene.
 
@@ -258,5 +258,6 @@ class NSFFDataset:
             for v in range(len(self.proj_mats[sc])):
                 rel = (self.proj_mats[sc][v] @ ref_inv)[:3]
                 worst = max(worst, warp_band_bound_host(rel, near, far,
-                                                        feat_h, feat_w, pad=pad))
+                                                        feat_h, feat_w, pad=pad,
+                                                        group=group))
         return worst

@@ -68,7 +68,7 @@ class SyntheticDataset:
         pm[:3, :4] = intr @ w2c[:3, :4]
         return pm
 
-    def warp_band_bound(self, pad=24):
+    def warp_band_bound(self, pad=24, group=1):
         """Exact host-side Pallas warp band bound over every (keyframe ref,
         view) pair — same preflight the NSFF loader runs (data/nsff.py:240)."""
         from ..kernels.plane_sweep import warp_band_bound_host
@@ -80,7 +80,7 @@ class SyntheticDataset:
             rel = (pm @ ref_inv)[:3]
             worst = max(worst, warp_band_bound_host(
                 rel, 2.0, 6.0,   # fixed synthetic near/far (see __getitem__)
-                self.H // 4, self.W // 4, pad=pad))
+                self.H // 4, self.W // 4, pad=pad, group=group))
         return worst
 
     def __getitem__(self, idx):

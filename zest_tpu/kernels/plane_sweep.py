@@ -50,13 +50,18 @@ def _round_up(x: int, m: int) -> int:
 # tap precomputation (XLA, fused elementwise)
 # ---------------------------------------------------------------------------
 
-def _precompute_taps(grid, h: int, w: int, band: int):
+def _precompute_taps(grid, h: int, w: int, band: int, gp: int = LANES):
     """Per-chunk tap data from a normalized sampling grid.
 
+    ``gp`` is the chunk width in pixels (a multiple of 128: ``group``
+    consecutive 128-lane chunks share one band slice and one wide matmul —
+    same MACs, ÷group fewer matmul issues and backward band read-modify-
+    writes).
+
     Returns:
-        rb   [D, NC] int32           band start row per 128-px chunk
-        ints [D, NC, 3, LANES] int32 (c0, r0, r1) clamped
-        flts [D, NC, 4, LANES] f32   (wx0, wx1, wy0, wy1) OOB-zeroed
+        ints [D, NC, 5, gp] int32  (c0, c1, r0, r1, rb) clamped
+        flts [D, NC, 4, gp] f32    (wx0, wx1, wy0, wy1) OOB-zeroed
+        nc   int                   number of gp-wide chunks
     """
     D, Hp, Wp, _ = grid.shape
     x = (grid[..., 0] + 1.0) * 0.5 * (w - 1)
@@ -76,13 +81,13 @@ def _precompute_taps(grid, h: int, w: int, band: int):
     r0 = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
     r1 = jnp.clip(y0 + 1, 0, h - 1).astype(jnp.int32)
 
-    nc = -(-(Hp * Wp) // LANES)
-    pad = nc * LANES - Hp * Wp
+    nc = -(-(Hp * Wp) // gp)
+    pad = nc * gp - Hp * Wp
 
     def chunk(a, fill=0.0):
         a = a.reshape(D, Hp * Wp)
         a = jnp.pad(a, ((0, 0), (0, pad)), constant_values=fill)
-        return a.reshape(D, nc, LANES)
+        return a.reshape(D, nc, gp)
 
     c0c, c1c, r0c, r1c = chunk(c0, 0), chunk(c1, 0), chunk(r0, 0), chunk(r1, 0)
     wy0c, wy1c = chunk(wy0), chunk(wy1)
@@ -97,10 +102,11 @@ def _precompute_taps(grid, h: int, w: int, band: int):
     return ints, flts, nc
 
 
-def required_band(grid, h: int, w: int):
+def required_band(grid, h: int, w: int, gp: int = LANES):
     """Minimal safe ``band``: max per-chunk span of rows with nonzero vertical
-    weight. Traced — use from host-side preflight checks on concrete pose/depth
-    data (e.g. NSFFDataset computes this over all pose pairs at init)."""
+    weight (chunk = ``gp`` consecutive flattened pixels). Traced — use from
+    host-side preflight checks on concrete pose/depth data (e.g. NSFFDataset
+    computes this over all pose pairs at init)."""
     D, Hp, Wp, _ = grid.shape
     y = (grid[..., 1] + 1.0) * 0.5 * (h - 1)
     y0 = jnp.floor(y)
@@ -111,13 +117,13 @@ def required_band(grid, h: int, w: int):
     lo = jnp.minimum(jnp.where(v0, r0, h), jnp.where(v1, r1, h))
     hi = jnp.maximum(jnp.where(v0, r0, -1), jnp.where(v1, r1, -1))
 
-    nc = -(-(Hp * Wp) // LANES)
-    pad = nc * LANES - Hp * Wp
+    nc = -(-(Hp * Wp) // gp)
+    pad = nc * gp - Hp * Wp
 
     def chunk(a, fill):
         a = a.reshape(D, Hp * Wp)
         a = jnp.pad(a, ((0, 0), (0, pad)), constant_values=fill)
-        return a.reshape(D, nc, LANES)
+        return a.reshape(D, nc, gp)
 
     span = jnp.max(jnp.max(chunk(hi, -1), -1) - jnp.min(chunk(lo, h), -1))
     return jnp.maximum(span + 1, 1)
@@ -127,15 +133,15 @@ def required_band(grid, h: int, w: int):
 # kernels
 # ---------------------------------------------------------------------------
 
-def _make_X2_vy(ints, flts, rb, band: int, w: int):
-    """Separable interpolation factors for one chunk.
+def _make_X2_vy(ints, flts, rb, band: int, w: int, gp: int):
+    """Separable interpolation factors for one chunk (gp pixels wide).
 
     The banded warp matrix factorizes as W[(b,c),px] = vy[b,px]·X2[c,px]:
-    building the w×128 horizontal two-hot X2 and the band×128 vertical two-hot
-    vy costs ~(w+band)·128 VPU ops per chunk instead of the band·w·128 of the
+    building the w×gp horizontal two-hot X2 and the band×gp vertical two-hot
+    vy costs ~(w+band)·gp VPU ops per chunk instead of the band·w·gp of the
     fused W — ~8x less VPU work at band=16.
     """
-    c0 = ints[0][None]            # [1, LANES]
+    c0 = ints[0][None]            # [1, gp]
     c1 = ints[1][None]
     r0 = ints[2][None]
     r1 = ints[3][None]
@@ -144,10 +150,10 @@ def _make_X2_vy(ints, flts, rb, band: int, w: int):
     wy0 = flts[2][None]
     wy1 = flts[3][None]
 
-    c_idx = jax.lax.broadcasted_iota(jnp.int32, (w, LANES), 0)
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, (w, gp), 0)
     X2 = (jnp.where(c_idx == c0, wx0, 0.0)
           + jnp.where(c_idx == c1, wx1, 0.0))
-    b_idx = jax.lax.broadcasted_iota(jnp.int32, (band, LANES), 0) + rb
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (band, gp), 0) + rb
     vy = (jnp.where(b_idx == r0, wy0, 0.0)
           + jnp.where(b_idx == r1, wy1, 0.0))
     return X2, vy
@@ -162,28 +168,30 @@ def _mm_dtype_prec(approx: bool):
 
 
 def _fwd_kernel(src_ref, ints_ref, flts_ref, out_ref, *, band, h, w, approx):
-    """One depth plane: out[1, NC, C, 128] = separable band-matmul warp.
+    """One depth plane: out[1, NC, C, gp] = separable band-matmul warp.
 
     src: [C, h, w] channel-major (band slice reshapes without transpose).
     Per chunk: M[(c,b),px] = (src_band[C·B, w] @ X2[w, px]) — one MXU matmul —
-    then out[c,px] = Σ_b M[(c,b),px]·vy[b,px] on the VPU.
+    then out[c,px] = Σ_b M[(c,b),px]·vy[b,px] on the VPU. A chunk is ``gp``
+    consecutive flattened pixels (group·128): grouping widens the matmul RHS
+    (same MACs, fewer issues) and amortizes the band slice per group.
 
     A lane-gather formulation (two Mosaic take_along_axis per chunk replacing
     the 2/128-sparse X2 matmul) measured 3,694 vs 3,832 rays/s in the full
     step — the MXU matmul wins; rejected (BENCH_NOTES round 3).
     """
     C = src_ref.shape[0]
-    NC = ints_ref.shape[1]
+    NC, _, gp = ints_ref.shape[1:]
     dt, prec = _mm_dtype_prec(approx)
 
     def body(k, _):
         rb = ints_ref[0, k, 4, 0]
         band_rows = src_ref[:, pl.ds(rb, band), :]          # [C, B, w]
-        X2, vy = _make_X2_vy(ints_ref[0, k], flts_ref[0, k], rb, band, w)
+        X2, vy = _make_X2_vy(ints_ref[0, k], flts_ref[0, k], rb, band, w, gp)
         mid = jnp.dot(band_rows.reshape(C * band, w).astype(dt), X2.astype(dt),
                       preferred_element_type=jnp.float32,
-                      precision=prec)                       # [C·B, LANES]
-        out_ref[0, k] = jnp.sum(mid.reshape(C, band, LANES) * vy[None], axis=1)
+                      precision=prec)                       # [C·B, gp]
+        out_ref[0, k] = jnp.sum(mid.reshape(C, band, gp) * vy[None], axis=1)
         return 0
 
     jax.lax.fori_loop(0, NC, body, 0)
@@ -196,7 +204,7 @@ def _bwd_kernel(g_ref, ints_ref, flts_ref, dsrc_ref, *, band, h, w, approx):
     for every step; zero-initialized at step 0).
     """
     C = g_ref.shape[2]
-    NC = ints_ref.shape[1]
+    NC, _, gp = ints_ref.shape[1:]
     d = pl.program_id(0)
     dt, prec = _mm_dtype_prec(approx)
 
@@ -206,9 +214,9 @@ def _bwd_kernel(g_ref, ints_ref, flts_ref, dsrc_ref, *, band, h, w, approx):
 
     def body(k, _):
         rb = ints_ref[0, k, 4, 0]
-        X2, vy = _make_X2_vy(ints_ref[0, k], flts_ref[0, k], rb, band, w)
-        g = g_ref[0, k]                                      # [C, LANES]
-        d_mid = (g[:, None, :] * vy[None]).reshape(C * band, LANES)
+        X2, vy = _make_X2_vy(ints_ref[0, k], flts_ref[0, k], rb, band, w, gp)
+        g = g_ref[0, k]                                      # [C, gp]
+        d_mid = (g[:, None, :] * vy[None]).reshape(C * band, gp)
         contrib = jax.lax.dot_general(
             d_mid.astype(dt), X2.astype(dt), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)   # [C·B, w]
@@ -224,9 +232,9 @@ def _bwd_kernel(g_ref, ints_ref, flts_ref, dsrc_ref, *, band, h, w, approx):
 # ---------------------------------------------------------------------------
 
 def _pallas_warp_fwd(src_cm, ints, flts, band: int, approx: bool):
-    """src_cm [C, h, w]; returns out [D, NC, C, LANES]."""
+    """src_cm [C, h, w]; returns out [D, NC, C, gp]."""
     C, h, w = src_cm.shape
-    D, NC = ints.shape[:2]
+    D, NC, _, gp = ints.shape
     kern = functools.partial(_fwd_kernel, band=band, h=h, w=w, approx=approx)
     return pl.pallas_call(
         kern,
@@ -234,31 +242,31 @@ def _pallas_warp_fwd(src_cm, ints, flts, band: int, approx: bool):
         in_specs=[
             pl.BlockSpec((C, h, w), lambda d: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NC, 5, LANES), lambda d: (d, 0, 0, 0),
+            pl.BlockSpec((1, NC, 5, gp), lambda d: (d, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NC, 4, LANES), lambda d: (d, 0, 0, 0),
+            pl.BlockSpec((1, NC, 4, gp), lambda d: (d, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, NC, C, LANES), lambda d: (d, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, NC, C, gp), lambda d: (d, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((D, NC, C, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((D, NC, C, gp), jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )(src_cm, ints, flts)
 
 
 def _pallas_warp_bwd(g, ints, flts, band: int, h: int, w: int, approx: bool):
-    """g [D, NC, C, LANES]; returns d_src [C, h, w]."""
-    D, NC, C, _ = g.shape
+    """g [D, NC, C, gp]; returns d_src [C, h, w]."""
+    D, NC, C, gp = g.shape
     kern = functools.partial(_bwd_kernel, band=band, h=h, w=w, approx=approx)
     return pl.pallas_call(
         kern,
         grid=(D,),
         in_specs=[
-            pl.BlockSpec((1, NC, C, LANES), lambda d: (d, 0, 0, 0),
+            pl.BlockSpec((1, NC, C, gp), lambda d: (d, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NC, 5, LANES), lambda d: (d, 0, 0, 0),
+            pl.BlockSpec((1, NC, 5, gp), lambda d: (d, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NC, 4, LANES), lambda d: (d, 0, 0, 0),
+            pl.BlockSpec((1, NC, 4, gp), lambda d: (d, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((C, h, w), lambda d: (0, 0, 0),
@@ -292,8 +300,9 @@ def supports_pallas_warp(src_feat) -> bool:
     return src_feat.shape[1] == LANES
 
 
-def _warp_core_call(src_feat, proj_mat, depth_values, pad: int, band: int):
-    """Shared front half: taps + kernel call. Returns (out [D,NC,Cp,128], grid,
+def _warp_core_call(src_feat, proj_mat, depth_values, pad: int, band: int,
+                    group: int):
+    """Shared front half: taps + kernel call. Returns (out [D,NC,Cp,gp], grid,
     nc, Cp)."""
     h, w, C = src_feat.shape
     # sublane-align the band: a size-3 dynamic slice measured 2.3x SLOWER than
@@ -301,7 +310,8 @@ def _warp_core_call(src_feat, proj_mat, depth_values, pad: int, band: int):
     band = min(_round_up(max(band, 1), 8), h)
     grid = homography_grid(proj_mat, depth_values, (h, w), pad=pad)
 
-    ints, flts, nc = _precompute_taps(grid, h, w, band)
+    gp = group * LANES
+    ints, flts, nc = _precompute_taps(grid, h, w, band, gp)
     # bf16 upstream features carry no extra precision to preserve → run the MXU
     # matmuls in 1-pass bf16 (6x fewer passes than exact-f32); exact otherwise
     approx = src_feat.dtype == jnp.bfloat16
@@ -314,13 +324,16 @@ def _warp_core_call(src_feat, proj_mat, depth_values, pad: int, band: int):
 
 
 def homo_warp_fast(src_feat, proj_mat, depth_values, pad: int = 0,
-                   band: int = 16):
+                   band: int = 16, group: int = 1):
     """Accelerated ``homo_warp`` with identical semantics (MXU banded matmuls).
 
     Args:
         src_feat: [h, w, C] with w == 128 (falls back to XLA otherwise).
         band: static band size; must be ≥ ``required_band`` for these poses
-              (validate host-side; see module docstring).
+              AND this ``group`` (validate host-side; see module docstring).
+        group: chunks-per-matmul (chunk width group·128 px). Same MACs, ÷group
+              matmul issues / backward RMWs; needs a slightly larger band
+              (``warp_band_bound_host(..., group=group)``).
     Returns (warped [D, Hp, Wp, C], grid) like ``ops.homography.homo_warp``.
     """
     h, w, C = src_feat.shape
@@ -332,9 +345,10 @@ def homo_warp_fast(src_feat, proj_mat, depth_values, pad: int = 0,
             f"(e.g. 288x512 inputs).", stacklevel=2)
         return homo_warp_xla(src_feat, proj_mat, depth_values, pad=pad)
     out, grid, nc, Cp = _warp_core_call(src_feat, proj_mat, depth_values, pad,
-                                        band)
+                                        band, group)
     D, Hp, Wp, _ = grid.shape
-    out = jnp.moveaxis(out, 2, 3).reshape(D, nc * LANES, Cp)[:, :Hp * Wp, :C]
+    gp = group * LANES
+    out = jnp.moveaxis(out, 2, 3).reshape(D, nc * gp, Cp)[:, :Hp * Wp, :C]
     return out.reshape(D, Hp, Wp, C).astype(src_feat.dtype), grid
 
 
@@ -343,7 +357,7 @@ def supports_pallas_warp_cm(src_feat) -> bool:
 
 
 def homo_warp_fast_cm(src_feat, proj_mat, depth_values, pad: int = 0,
-                      band: int = 16):
+                      band: int = 16, group: int = 1):
     """``homo_warp_fast`` emitting CHANNEL-MAJOR output [D, C, Hp·Wp].
 
     Skips the per-view minor-dim transpose of the channels-last form: the
@@ -367,14 +381,14 @@ def homo_warp_fast_cm(src_feat, proj_mat, depth_values, pad: int = 0,
         return (jnp.moveaxis(warped, -1, 1).reshape(D, C, Hp * Wp)
                 .astype(jnp.float32), grid)
     out, grid, nc, Cp = _warp_core_call(src_feat, proj_mat, depth_values, pad,
-                                        band)
+                                        band, group)
     D, Hp, Wp, _ = grid.shape
-    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(D, Cp, nc * LANES)
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(D, Cp, nc * group * LANES)
     return out[:, :src_feat.shape[2], :Hp * Wp], grid
 
 
 def warp_band_bound_host(proj_mat, near, far, h: int, w: int, pad: int = 0,
-                         n_planes: int = 128) -> int:
+                         n_planes: int = 128, group: int = 1) -> int:
     """EXACT host-side upper bound on ``required_band`` for one source view.
 
     For the plane-induced homography M_d = R + T e3ᵀ/d the vertical-coordinate
@@ -414,14 +428,15 @@ def warp_band_bound_host(proj_mat, near, far, h: int, w: int, pad: int = 0,
         C = m11 * m22 - m21 * m12
         E = m11 * m20 - m21 * m10
         sy = max(abs(C + E * x) for x in xs) / D2min
-        # In-chunk output spread: a chunk is 128 consecutive flattened pixels of
-        # the PADDED (Hp x Wp) image. If it stays in one row, x spans
-        # min(LANES, Wp)−1; if it wraps row boundaries (always when Wp < LANES,
-        # possible whenever Wp != LANES), x spans the full row width Wp−1 and y
-        # spans ⌈(LANES−1)/Wp⌉ rows. Round-1 bug: used LANES−1 for the x-span,
-        # under-counting by 2·pad·sx when Wp = w + 2·pad > LANES.
-        wrap_rows = 1 + (LANES - 2) // Wp
-        span = max((min(LANES, Wp) - 1) * sx, (Wp - 1) * sx + wrap_rows * sy)
+        # In-chunk output spread: a chunk is gp = group·128 consecutive
+        # flattened pixels of the PADDED (Hp x Wp) image. If it stays in one
+        # row, x spans min(gp, Wp)−1; if it wraps row boundaries (always when
+        # Wp < gp, possible whenever Wp != gp), x spans the full row width
+        # Wp−1 and y spans ⌈(gp−1)/Wp⌉ rows. Round-1 bug: used gp−1 for the
+        # x-span, under-counting by 2·pad·sx when Wp = w + 2·pad > gp.
+        gp = group * LANES
+        wrap_rows = 1 + (gp - 2) // Wp
+        span = max((min(gp, Wp) - 1) * sx, (Wp - 1) * sx + wrap_rows * sy)
         worst = max(worst, span)
     # +2 = the second bilinear tap row (r1 = r0+1) + the floor() boundary row
     return min(int(np.ceil(worst)) + 2, h)

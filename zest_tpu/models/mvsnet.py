@@ -41,7 +41,8 @@ def depth_plane_values(near, far, n_planes: int = N_DEPTH_PLANES, lindisp: bool 
 
 def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
                       identity_src_warp: bool = False,
-                      use_pallas_warp: bool = False, warp_band: int = 16):
+                      use_pallas_warp: bool = False, warp_band: int = 16,
+                      warp_group: int = 1):
     """Variance-based plane-sweep cost volume.
 
     Args:
@@ -114,7 +115,8 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
                         [src, imgs_small[i + 1].astype(src.dtype)], axis=-1)
                 warped, grid = homo_warp_fast_cm(src, proj_mats[i + 1],
                                                  depth_values, pad=pad,
-                                                 band=warp_band)
+                                                 band=warp_band,
+                                                 group=warp_group)
                 warped = warped.astype(src.dtype)
                 warped_feat = warped[:, :C]
                 if i < 2:
@@ -159,6 +161,7 @@ class MVSEncoder(nn.Module):
     dtype: object = jnp.float32      # compute dtype (bf16 under --precision 16)
     use_pallas_warp: bool = False    # MXU banded-matmul plane-sweep kernel
     warp_band: int = 16              # static band size (see kernels/plane_sweep)
+    warp_group: int = 1              # warp-kernel chunks-per-matmul
 
     @nn.compact
     def __call__(self, imgs, proj_mats, near_far, pad: int = 0,
@@ -171,7 +174,8 @@ class MVSEncoder(nn.Module):
                                      depth_values, pad=pad,
                                      identity_src_warp=self.identity_src_warp,
                                      use_pallas_warp=self.use_pallas_warp,
-                                     warp_band=self.warp_band)
+                                     warp_band=self.warp_band,
+                                     warp_group=self.warp_group)
         # pad channels (41 → 48): zero channels are mathematically inert but give
         # the first 3D conv a sublane-aligned channel count — the unpadded 41-ch
         # conv backward ran at ~1.3 TFLOP/s with 16x-padded layout copies

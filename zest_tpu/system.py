@@ -112,7 +112,8 @@ class ZestSystem:
             else jnp.float32
         self.enc_static = MVSEncoder(dtype=enc_dtype,
                                      use_pallas_warp=cfg.use_pallas_warp,
-                                     warp_band=cfg.warp_band) \
+                                     warp_band=cfg.warp_band,
+                                     warp_group=cfg.warp_group) \
             if cfg.use_mvs else None
         # the dynamic volume's neighbour proj_mats are identity (loader quirk kept
         # from data/nsff.py:294-297) → gather-free warp fast path

@@ -204,7 +204,7 @@ def apply_warp_band_preflight(cfg: ZestConfig, train_ds, verbose=True):
     is a safe, user-chosen margin."""
     if not (cfg.use_pallas_warp and hasattr(train_ds, "warp_band_bound")):
         return cfg
-    bound = int(train_ds.warp_band_bound(pad=cfg.pad))
+    bound = int(train_ds.warp_band_bound(pad=cfg.pad, group=cfg.warp_group))
     import dataclasses
     default_band = next(f.default for f in dataclasses.fields(type(cfg))
                         if f.name == "warp_band")
