@@ -167,6 +167,8 @@ def grid_sample_3d_paired(vol, grid, paired=None):
     Args: vol [D, H, W, C]; grid [..., 3] (x, y, z) in [-1, 1].
     Returns: [..., C]
     """
+    from .. import flags as _flags
+    use_dma_rows = _flags.DMA_ROW_GATHER
     D, H, W, C = vol.shape
     flat = paired_volume(vol) if paired is None else paired
 
@@ -188,8 +190,16 @@ def grid_sample_3d_paired(vol, grid, paired=None):
     ix0, wx0, wx1 = taps(x, W)
     iy0, wy0, wy1 = taps(y, H)
     iz0, wz0, wz1 = taps(z, D)
-    rows = jnp.take(flat, (iz0 * (H + 1) + iy0) * (W + 1) + ix0,
-                    axis=0)                                    # [..., 8C]
+    row_idx = (iz0 * (H + 1) + iy0) * (W + 1) + ix0
+    if use_dma_rows and jax.default_backend() == "tpu":
+        # DMA-pipelined row gather (kernels/dma_gather.py): the scalar core
+        # issues one async copy per row with a bounded in-flight window,
+        # overlapping HBM latency instead of serializing on it like the XLA
+        # row gather. Identical values; VJP is the same row scatter-add.
+        from ..kernels.dma_gather import take_rows
+        rows = take_rows(flat, row_idx)                        # [..., 8C]
+    else:
+        rows = jnp.take(flat, row_idx, axis=0)                 # [..., 8C]
     octo = rows.reshape(rows.shape[:-1] + (2, 2, 2, C))
     w = (jnp.stack([wz0, wz1], -1)[..., :, None, None]
          * jnp.stack([wy0, wy1], -1)[..., None, :, None]
