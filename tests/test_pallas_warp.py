@@ -84,6 +84,30 @@ def test_band_bound_host_covers_grouped_required_band():
         assert bound >= req, (group, bound, req)
 
 
+def test_grouped_band_bound_flagship_geometry():
+    """Flagship feature geometry (72x128 features, pad=24 -> 120x176 padded
+    output, chunks WRAP the 176-px rows): the synthetic dataset's host bound
+    with group=4 must cover the traced required_band, and the grouped kernel
+    must match the XLA oracle at that band."""
+    from zest_tpu.data.synthetic import SyntheticDataset
+    from zest_tpu.kernels.plane_sweep import warp_band_bound_host
+    ds = SyntheticDataset(img_h=288, img_w=512, num_frames=6, num_keyframes=2,
+                          use_mvs=True, use_mvs_dy=True)
+    bound = int(ds.warp_band_bound(pad=24, group=4))
+    ref_inv = np.linalg.inv(ds._proj_mat(np.linalg.inv(ds._pose(ds.key_frames[0]))))
+    rel = jnp.asarray((ds._proj_mat(np.linalg.inv(ds._pose(3))) @ ref_inv)[:3])
+    dv = jnp.linspace(2.0, 6.0, 2)
+    grid = homography_grid(rel, dv, (72, 128), pad=24)
+    req = int(required_band(grid, 72, 128, gp=4 * 128))
+    assert bound >= req, (bound, req)
+
+    rng = np.random.default_rng(11)
+    feat = jnp.asarray(rng.normal(size=(72, 128, 2)).astype(np.float32))
+    ref, _ = homo_warp(feat, rel, dv, pad=24)
+    out, _ = homo_warp_fast(feat, rel, dv, pad=24, band=bound, group=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
 def test_required_band_is_sufficient():
     dv = jnp.linspace(2.0, 6.0, 3)
     grid = homography_grid(_proj(), dv, (8, 128), pad=2)
