@@ -6,6 +6,10 @@ repeats (the axon tunnel memoizes identical executions). Persistent compile
 cache makes retries of the same chunk size cheap.
 
 Usage: python tools/bench_eval.py [chunk ...]   (default: 8192 16384)
+       python tools/bench_eval.py --ablate     (component shares at the
+                                                default chunk: full /
+                                                zeroed-color-features /
+                                                static-field-only)
 """
 import sys
 import time
@@ -18,7 +22,26 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def main(chunks):
+def _patch(mode):
+    """Component ablations for share attribution (not semantics-preserving)."""
+    from zest_tpu import render
+    if mode == "nocolor":
+        orig = render.build_color_features
+
+        def zeros(pts_world, images, w2cs, intrinsics, with_mask=True,
+                  approx=False, order="s_major", band=16):
+            V = images.shape[0]
+            R, S, _ = pts_world.shape
+            c = 4 if with_mask else 3
+            return jnp.zeros((R, S, V * c),
+                             jnp.bfloat16 if approx else jnp.float32)
+
+        render.build_color_features = zeros
+        return orig
+    return None
+
+
+def main(chunks, mode="full"):
     from zest_tpu.config import ZestConfig
     from zest_tpu.data.synthetic import SyntheticDataset
     from zest_tpu.system import ZestSystem
@@ -36,14 +59,19 @@ def main(chunks):
     batch = {k: jnp.asarray(v) for k, v in ds[3].items()}
     base = base.replace(warp_band=ds.warp_band_bound(pad=base.pad, group=base.warp_group))
 
+    _orig = _patch(mode)
+    if mode == "static_only":
+        base = base.replace(train_sceneflow=False, use_mvs_dy=False)
+
     for chunk in chunks:
         cfg = base.replace(eval_chunk=chunk)
         system = ZestSystem(cfg)
         params = system.init_params(jax.random.PRNGKey(0), batch)
         eval_fn = system.make_eval_step()
+        key = "rgb_map_ref" if cfg.train_sceneflow else "rgb_map"
         t_c0 = time.perf_counter()
         maps = eval_fn(params, batch)
-        float(maps["rgb_map_ref"][0, 0, 0])     # forces compile+exec
+        float(maps[key][0, 0, 0])               # forces compile+exec
         print(f"chunk {chunk}: first call (compile+run) "
               f"{time.perf_counter() - t_c0:.1f} s", flush=True)
         n = 3
@@ -53,12 +81,20 @@ def main(chunks):
             b2 = dict(batch)
             b2["images"] = batch["images"] + prev * 1e-6  # defeat memoization
             maps = eval_fn(params, b2)
-            prev = float(maps["rgb_map_ref"][0, 0, 0]) % 1.0
+            prev = float(maps[key][0, 0, 0]) % 1.0
         dt = (time.perf_counter() - t0) / n
-        print(f"chunk {chunk}: {dt:.2f} s/image "
+        print(f"[{mode}] chunk {chunk}: {dt:.2f} s/image "
               f"({288 * 512 / dt:.0f} rays/s)", flush=True)
+
+    if _orig is not None:
+        from zest_tpu import render
+        render.build_color_features = _orig
 
 
 if __name__ == "__main__":
-    cs = [int(a) for a in sys.argv[1:]] or [8192, 16384]
-    main(cs)
+    if "--ablate" in sys.argv[1:]:
+        for m in ("full", "nocolor", "static_only"):
+            main([16384], mode=m)
+    else:
+        cs = [int(a) for a in sys.argv[1:]] or [8192, 16384]
+        main(cs)

@@ -16,5 +16,8 @@ def _env_bool(name: str, default: bool) -> bool:
 
 
 # DMA-pipelined row gather for the octo-paired warped-sites sampling
-# (kernels/dma_gather.py). Identical values/VJP to jnp.take.
-DMA_ROW_GATHER = _env_bool("ZEST_DMA_ROW_GATHER", True)
+# (kernels/dma_gather.py). Identical values/VJP to jnp.take. Default OFF:
+# the kernel is interpret-mode-verified but its real-chip Mosaic lowering
+# has not been exercised yet (tunnel outage) — enable for the A/B with
+# ZEST_DMA_ROW_GATHER=1, flip the default once validated.
+DMA_ROW_GATHER = _env_bool("ZEST_DMA_ROW_GATHER", False)
