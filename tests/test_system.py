@@ -95,6 +95,32 @@ def test_eval_step_full_image(sf_setup):
     assert np.all(np.isfinite(np.asarray(maps["rgb_map_ref"])))
 
 
+def test_eval_path_step_matches_per_pose(sf_setup):
+    """Pose-batched path eval (make_eval_path_step) must reproduce the
+    per-pose eval_step maps exactly: same volumes, same rays, the target
+    camera substituted in the last slot (render_paths pose batching)."""
+    cfg, ds, sys, state, step_fn = sf_setup
+    batch = to_device(ds[3])
+    other = to_device(ds[5])
+    # two target poses: the batch's own and frame 5's target camera
+    path_c2ws = jnp.stack([batch["c2ws"][-1], other["c2ws"][-1]])
+    path_w2cs = jnp.stack([batch["w2cs"][-1], other["w2cs"][-1]])
+
+    path_fn = sys.make_eval_path_step()
+    maps_p = path_fn(state.params, batch, path_c2ws, path_w2cs)
+
+    eval_fn = sys.make_eval_step()
+    for i in range(2):
+        b = dict(batch)
+        b["c2ws"] = batch["c2ws"].at[-1].set(path_c2ws[i])
+        b["w2cs"] = batch["w2cs"].at[-1].set(path_w2cs[i])
+        maps_i = eval_fn(state.params, b)
+        for k in maps_i:
+            np.testing.assert_allclose(np.asarray(maps_p[k][i]),
+                                       np.asarray(maps_i[k]),
+                                       rtol=1e-5, atol=1e-5, err_msg=k)
+
+
 def test_full_zest_with_volumes_step():
     """Full ZeST config (both encoding volumes) on tiny shapes — one step."""
     # feature space is H/4 x W/4; CostRegNet needs (h+2p, w+2p) divisible by 8.

@@ -4,6 +4,13 @@ These gate kernel fast paths that are numerically identical to their XLA
 fallbacks — they exist so a backend regression can be disabled with one line
 (or an env var) without touching the config surface that mirrors the
 reference CLI.
+
+CONTRACT: flags are read at TRACE time inside jitted functions and are NOT
+part of any jit cache key. Set them (env var or module attribute) BEFORE the
+first call that traces the affected function; flipping one afterwards keeps
+using the stale traced value until the process restarts or `jax.clear_caches()`
+is called (ADVICE r3 #3). They are process-level build switches, not runtime
+toggles.
 """
 import os
 
@@ -16,8 +23,10 @@ def _env_bool(name: str, default: bool) -> bool:
 
 
 # DMA-pipelined row gather for the octo-paired warped-sites sampling
-# (kernels/dma_gather.py). Identical values/VJP to jnp.take. Default OFF:
-# the kernel is interpret-mode-verified but its real-chip Mosaic lowering
-# has not been exercised yet (tunnel outage) — enable for the A/B with
-# ZEST_DMA_ROW_GATHER=1, flip the default once validated.
+# (kernels/dma_gather.py). Identical values/VJP to jnp.take. Default OFF and
+# MUST stay off on the axon tunnel backend: its compile helper exits 1 on any
+# Mosaic kernel containing a make_async_copy (bisected round 4,
+# tools/probe_dma_min.py — even a whole-block static DMA is fatal). The
+# kernel is interpret-mode-verified; enable only on a TPU with a full local
+# Mosaic toolchain (BENCH_NOTES.md round-4 section).
 DMA_ROW_GATHER = _env_bool("ZEST_DMA_ROW_GATHER", False)

@@ -30,13 +30,13 @@ NSEM = 16      # in-flight DMA window
 
 def _gather_kernel(idx_ref, tab_ref, out_ref, sems):
     def start(i):
-        r = idx_ref[0, i]
+        r = idx_ref[0, 0, i]
         pltpu.make_async_copy(tab_ref.at[pl.ds(r, 1), :],
                               out_ref.at[pl.ds(i, 1), :],
                               sems.at[i % NSEM]).start()
 
     def wait(i):
-        r = idx_ref[0, i]
+        r = idx_ref[0, 0, i]
         pltpu.make_async_copy(tab_ref.at[pl.ds(r, 1), :],
                               out_ref.at[pl.ds(i, 1), :],
                               sems.at[i % NSEM]).wait()
@@ -62,12 +62,15 @@ def _gather_kernel(idx_ref, tab_ref, out_ref, sems):
 def _dma_gather_rows(tab, idx):
     """tab [M, CW]; idx [N] int32 (N a multiple of BLK, in-bounds)."""
     nb = idx.shape[0] // BLK
-    idx2 = idx.reshape(nb, BLK)
+    # (nb, 1, BLK) with block (1, 1, BLK): Mosaic requires a block's last two
+    # dims be (8k, 128k) or EQUAL to the array's — (1, BLK) vs a 2D (nb, BLK)
+    # layout fails to lower on real TPUs (interpret mode accepts it)
+    idx2 = idx.reshape(nb, 1, BLK)
     return pl.pallas_call(
         _gather_kernel,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, BLK), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, BLK), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],

@@ -502,27 +502,28 @@ def sample_volume_zbanded_diff(vol, ndc, band: int = 6, approx=None,
         approx = vol.dtype == jnp.bfloat16
     dims = (D, Hv, Wv, C, band, S, NC, bool(approx), R)
 
-    if paired is None:
-        paired = prepare_warped_paired(vol, approx)
-
     def kern_path(operands):
-        vol, ndc, _paired = operands
+        vol, ndc = operands[0], operands[1]
         volR = vol.astype(jnp.bfloat16 if approx else jnp.float32) \
             .reshape(D, Hv, Wv * C)
         out = _core_d(dims, volR, ndc)
         return jnp.moveaxis(out.reshape(S, NC * LANES, C), 0, 1)[:R]
 
     def xla_path(operands):
-        vol, ndc, paired = operands
+        vol, ndc = operands[0], operands[1]
         # octo-paired wide-row gather (ops/grid_sample.grid_sample_3d_paired):
         # one 8C-wide gather per point instead of 8 C-wide — measured 306 →
         # 133 ms fwd+bwd for the flagship's 427k warped sites (bit-exact).
         # approx: gather AND the autodiff scatter-add (d_vol) run in bf16 —
-        # matches the kernel path's bf16 matmuls. The paired build is hoisted
-        # out of the cond so the t±1 + chain calls on one volume share it.
+        # matches the kernel path's bf16 matmuls. When the caller did not
+        # hoist a shared build, the ~350 MB paired-volume build lives INSIDE
+        # this cond body so the kernel-engaged branch never pays for it
+        # (ADVICE r3 #2); a caller-hoisted `paired` rides in as an operand.
         from ..ops.grid_sample import grid_sample_3d_paired
         v = vol.astype(jnp.bfloat16) if approx else vol
+        p = operands[2] if len(operands) == 3 else None
         return grid_sample_3d_paired(v, ndc * 2.0 - 1.0,
-                                     paired=paired).astype(jnp.float32)
+                                     paired=p).astype(jnp.float32)
 
-    return jax.lax.cond(ok, kern_path, xla_path, (vol, ndc, paired))
+    operands = (vol, ndc) if paired is None else (vol, ndc, paired)
+    return jax.lax.cond(ok, kern_path, xla_path, operands)

@@ -54,7 +54,10 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
         pad: reference-frustum padding (volume covers (h+2p, w+2p)).
     Returns:
         cost_vol: [D, h+2p, w+2p, 9 + C]
-        in_masks: [V, D, h+2p, w+2p]
+
+    In-bounds masks are NOT returned here: the reference's return_color mask
+    story (networks.py:1204-1205) lives in the color-volume sampling path
+    (ops/grid_sample.py / render.py gen_pts_feats) in this framework.
     """
     V, h, w, C = feats.shape
     D = depth_values.shape[0]
@@ -144,7 +147,6 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
     cost_cm = jnp.concatenate(warped_rgb + [variance], axis=1)  # [D, 9+C, Px]
     # single NHWC transpose for the 3D U-Net (was one minor transpose per view)
     cost_vol = jnp.swapaxes(cost_cm, 1, 2).reshape(D, hp, wp, 9 + C)
-    # per-view masks (returned for return_color paths, networks.py:1204-1205)
     return cost_vol
 
 

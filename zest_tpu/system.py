@@ -492,67 +492,105 @@ class ZestSystem:
     # ------------------------------------------------------------------
     # full-image eval (forward_val, networks.py:595-709)
     # ------------------------------------------------------------------
-    def make_eval_step(self):
+    def _eval_image(self, params, batch, models, imgs_un, c2ws, w2cs):
+        """Chunked full-image render given prebuilt render models (shared by
+        make_eval_step and the pose-batched make_eval_path_step). ``c2ws``/
+        ``w2cs`` carry the TARGET camera in the last slot (utils.py:290-394);
+        everything else about ``models`` is target-pose-independent (volumes,
+        color features and NDC reference all use the source/reference views)."""
         cfg = self.cfg
+        V, H, W, _ = batch["images"].shape
 
+        # eval_chunk ≫ the reference's CUDA-memory chunk: fewer, larger
+        # lax.map iterations keep the MXU fed (full-image eval was the
+        # val/test wall-clock sink, VERDICT r1 weak #5)
+        chunk = min(cfg.eval_chunk or cfg.chunk, H * W)
+        if self.mesh is not None:
+            chunk = max(chunk // self.mesh.size * self.mesh.size,
+                        self.mesh.size)
+        n_chunks = -(-(H * W) // chunk)
+        ref_idx = normalize_frame_idx(batch.get("time", 0.0),
+                                      batch.get("total_frames", 1.0))
+        # train_video: same learnable time code as forward_train — the static
+        # field was built with in_ch_pts + time_code_dim, so eval must feed it
+        # too (reference forward_val passes time_codes, networks.py:688)
+        time_codes = None
+        if cfg.train_video:
+            time_codes = params["time_codes"][batch["keyframe_id"]]
+
+        from .parallel.mesh import shard_rays
+
+        def render_chunk(idx):
+            xs, ys = sampling.sample_pixels_grid(H, W, chunk, idx)
+            # multi-chip: shard eval rays over the data axis like training
+            xs = shard_rays(xs, self.mesh)
+            ys = shard_rays(ys, self.mesh)
+            rays = sampling.build_rays(
+                jax.random.PRNGKey(0), xs, ys, images=imgs_un,
+                depths=batch["depths"], w2cs=w2cs, c2ws=c2ws,
+                intrinsics=batch["intrinsics"], near_fars=batch["near_fars"],
+                n_samples=cfg.N_samples, pad=cfg.pad, stratified=False)
+            ret = render.render_rays(
+                models, rays, im_w2c_ref=w2cs[0],
+                nb_w2c_ref=batch["nb_w2cs"][0] if "nb_w2cs" in batch else None,
+                scene_flow=cfg.train_sceneflow, chain_bwd=False,
+                chain_5frames=False, ref_frame_idx=ref_idx,
+                num_frames=batch.get("total_frames", 1.0),
+                time_codes=time_codes, white_bkgd=cfg.white_bkgd,
+                raw_noise_std=0.0, rng=None, val=True)
+            keys = ["rgb_map", "depth_map"]
+            if cfg.train_sceneflow:
+                keys += ["rgb_map_ref", "depth_map_ref", "rgb_map_ref_dy",
+                         "depth_map_ref_dy", "weights_map_dd"]
+            return {k: ret[k] for k in keys}
+
+        out = jax.lax.map(render_chunk, jnp.arange(n_chunks))
+        # [n_chunks, chunk, ...] → [H*W, ...] → [H, W, ...]
+        maps = {}
+        for k, v in out.items():
+            flat = v.reshape((n_chunks * chunk,) + v.shape[2:])[:H * W]
+            maps[k] = flat.reshape((H, W) + v.shape[2:])
+        return maps
+
+    def make_eval_step(self):
         @jax.jit
         def eval_step(params, batch):
-            V, H, W, _ = batch["images"].shape
+            static_vol, dyn_vol = self._encode_volumes(params, batch)
+            imgs_un = unpreprocess(batch["images"])
+            nb_imgs_un = unpreprocess(batch["nb_imgs"]) if "nb_imgs" in batch else None
+            models = self._render_models(params, batch, static_vol, dyn_vol,
+                                         imgs_un, nb_imgs_un, train=False)
+            return self._eval_image(params, batch, models, imgs_un,
+                                    batch["c2ws"], batch["w2cs"])
+
+        return eval_step
+
+    def make_eval_path_step(self):
+        """Pose-batched full-image eval for path rendering (bullet-time
+        wanderpath / spiral): encoding volumes + render models are built ONCE
+        per frame and a lax.map sweeps the target camera over P orbit poses in
+        one jitted call. The reference re-runs forward_val per pose — 60
+        volume rebuilds + 60 dispatch round trips per frame (train.py:1185-1235);
+        here the per-frame cost is one volume build + one dispatch.
+
+        Returns fn(params, batch, path_c2ws [P,4,4], path_w2cs [P,4,4])
+        -> maps dict of [P, H, W, ...]."""
+
+        @jax.jit
+        def eval_path_step(params, batch, path_c2ws, path_w2cs):
             static_vol, dyn_vol = self._encode_volumes(params, batch)
             imgs_un = unpreprocess(batch["images"])
             nb_imgs_un = unpreprocess(batch["nb_imgs"]) if "nb_imgs" in batch else None
             models = self._render_models(params, batch, static_vol, dyn_vol,
                                          imgs_un, nb_imgs_un, train=False)
 
-            # eval_chunk ≫ the reference's CUDA-memory chunk: fewer, larger
-            # lax.map iterations keep the MXU fed (full-image eval was the
-            # val/test wall-clock sink, VERDICT r1 weak #5)
-            chunk = min(cfg.eval_chunk or cfg.chunk, H * W)
-            if self.mesh is not None:
-                chunk = max(chunk // self.mesh.size * self.mesh.size,
-                            self.mesh.size)
-            n_chunks = -(-(H * W) // chunk)
-            ref_idx = normalize_frame_idx(batch.get("time", 0.0),
-                                          batch.get("total_frames", 1.0))
-            # train_video: same learnable time code as forward_train — the static
-            # field was built with in_ch_pts + time_code_dim, so eval must feed it
-            # too (reference forward_val passes time_codes, networks.py:688)
-            time_codes = None
-            if cfg.train_video:
-                time_codes = params["time_codes"][batch["keyframe_id"]]
+            def per_pose(pose):
+                c2w, w2c = pose
+                c2ws = batch["c2ws"].at[-1].set(c2w)
+                w2cs = batch["w2cs"].at[-1].set(w2c)
+                return self._eval_image(params, batch, models, imgs_un,
+                                        c2ws, w2cs)
 
-            from .parallel.mesh import shard_rays
+            return jax.lax.map(per_pose, (path_c2ws, path_w2cs))
 
-            def render_chunk(idx):
-                xs, ys = sampling.sample_pixels_grid(H, W, chunk, idx)
-                # multi-chip: shard eval rays over the data axis like training
-                xs = shard_rays(xs, self.mesh)
-                ys = shard_rays(ys, self.mesh)
-                rays = sampling.build_rays(
-                    jax.random.PRNGKey(0), xs, ys, images=imgs_un,
-                    depths=batch["depths"], w2cs=batch["w2cs"], c2ws=batch["c2ws"],
-                    intrinsics=batch["intrinsics"], near_fars=batch["near_fars"],
-                    n_samples=cfg.N_samples, pad=cfg.pad, stratified=False)
-                ret = render.render_rays(
-                    models, rays, im_w2c_ref=batch["w2cs"][0],
-                    nb_w2c_ref=batch["nb_w2cs"][0] if "nb_w2cs" in batch else None,
-                    scene_flow=cfg.train_sceneflow, chain_bwd=False,
-                    chain_5frames=False, ref_frame_idx=ref_idx,
-                    num_frames=batch.get("total_frames", 1.0),
-                    time_codes=time_codes, white_bkgd=cfg.white_bkgd,
-                    raw_noise_std=0.0, rng=None, val=True)
-                keys = ["rgb_map", "depth_map"]
-                if cfg.train_sceneflow:
-                    keys += ["rgb_map_ref", "depth_map_ref", "rgb_map_ref_dy",
-                             "depth_map_ref_dy", "weights_map_dd"]
-                return {k: ret[k] for k in keys}
-
-            out = jax.lax.map(render_chunk, jnp.arange(n_chunks))
-            # [n_chunks, chunk, ...] → [H*W, ...] → [H, W, ...]
-            maps = {}
-            for k, v in out.items():
-                flat = v.reshape((n_chunks * chunk,) + v.shape[2:])[:H * W]
-                maps[k] = flat.reshape((H, W) + v.shape[2:])
-            return maps
-
-        return eval_step
+        return eval_path_step

@@ -352,6 +352,11 @@ def run_test(cfg: ZestConfig, datasets=None, quiet=False):
     save_dir = Path(cfg.save_dir) / cfg.expname
     save_dir.mkdir(parents=True, exist_ok=True)
 
+    # warp-band preflight for standalone eval: the plane-sweep kernel has no
+    # runtime band guard, so a test dataset whose exact bound exceeds the
+    # configured band would silently zero out-of-band taps (ADVICE r3 #1)
+    cfg = apply_warp_band_preflight(cfg, test_ds, verbose=not quiet)
+
     system = ZestSystem(cfg)
     batch0 = to_device(test_ds[0])
     params = system.init_params(jax.random.PRNGKey(0), batch0)
