@@ -162,6 +162,26 @@ def main(modes):
         timed("step_fakewarpbwd", step1fw, state)
         _ps.homo_warp_fast_cm = orig_cm
 
+    if "step_nofeatgrad" in modes:
+        # stop_gradient on the 2D FeatureNet outputs: warp adjoint + variance
+        # backward still run (their cotangents are consumed up to the feats),
+        # but the FeatureNet conv backward is skipped — the difference vs
+        # "step" isolates the FeatureNet bwd
+        from zest_tpu.models import mvsnet as _mv2
+        orig_bcv2 = _mv2.build_cost_volume
+
+        def sg_feats_bcv(imgs, feats, *a, **k):
+            return orig_bcv2(imgs, jax.lax.stop_gradient(feats), *a, **k)
+
+        _mv2.build_cost_volume = sg_feats_bcv
+        step_nf = system.make_train_step(opt)
+
+        def step1nf(st):
+            st2, _ = step_nf(st, batch, rng, phase)
+            return st2
+        timed("step_nofeatgrad", step1nf, state)
+        _mv2.build_cost_volume = orig_bcv2
+
     if "step_nodvolgrad" in modes:
         # stop_gradient on the VOLUME argument of the flow-warped sampler:
         # backward keeps coordinate (flow) gradients but drops the octo-paired
