@@ -163,10 +163,12 @@ def main(modes):
         _ps.homo_warp_fast_cm = orig_cm
 
     if "step_nofeatgrad" in modes:
-        # stop_gradient on the 2D FeatureNet outputs: warp adjoint + variance
-        # backward still run (their cotangents are consumed up to the feats),
-        # but the FeatureNet conv backward is skipped — the difference vs
-        # "step" isolates the FeatureNet bwd
+        # stop_gradient on the 2D FeatureNet outputs. NOTE (measured r4):
+        # since the input images carry no gradients, stopping feats makes the
+        # whole cost volume parameter-independent, so XLA DCEs the warp
+        # adjoint AND the variance backward too — this mode measures the same
+        # set as step_nocvgrad (204.1 vs 206.7 ms, within noise) and CANNOT
+        # isolate the FeatureNet bwd alone. Kept as a cross-check.
         from zest_tpu.models import mvsnet as _mv2
         orig_bcv2 = _mv2.build_cost_volume
 

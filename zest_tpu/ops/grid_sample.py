@@ -15,6 +15,8 @@ portable reference/oracle.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -129,7 +131,18 @@ def paired_volume(vol):
     (the t±1 scene-flow-warped lookups + chain re-render) build it ONCE and
     share it — each build is ~350 MB of HBM traffic and the builds sit inside
     separate lax.cond bodies where XLA cannot CSE them.
+
+    Carries a custom VJP: plain autodiff transposes the stack+moveaxis build
+    into a ~358 MB relayout of the cotangent super-volume; the hand adjoint is
+    a direct 8-static-slice sum straight into base [D, H, W, C] layout (one
+    fused elementwise pass) — see ``_paired_volume_for``.
     """
+    D, H, W, C = vol.shape
+    return _paired_volume_for(D, H, W, C)(vol)
+
+
+def _paired_build(vol):
+    """Raw octo-paired build (no custom VJP) — see ``paired_volume``."""
     D, H, W, C = vol.shape
     # leading zero slab per axis: a point just OUTSIDE the volume whose +1 tap
     # is the first slice (floor = -1, frequent for flow-warped coords) must
@@ -148,30 +161,59 @@ def paired_volume(vol):
     return volP.reshape((D + 1) * (H + 1) * (W + 1), 8 * C)
 
 
-def grid_sample_3d_paired(vol, grid, paired=None):
-    """Trilinear 3D sampling via ONE wide gather per point ("zeros" mode).
+@functools.lru_cache(maxsize=None)
+def _paired_volume_for(D, H, W, C):
+    """Shape-specialised paired build with a hand-written adjoint.
 
-    Identical taps/weights to ``grid_sample_3d`` (bit-exact, verified on a
-    v5e), but the 8 corner taps are pre-paired into a super-volume
-    ``volP[z, y, x] = vol[z..z+1, y..y+1, x..x+1, :]`` of 8·C contiguous
-    channels, so each point needs one row gather of 8C elements instead of 8
-    gathers of C. TPU gathers are per-row latency-bound: measured 306 → 133 ms
-    fwd+bwd for the flagship's 427k warped sample sites (tools/
-    bench_warped_gather.py). The autodiff VJP scatters the same wide rows and
-    folds back through the (cheap, elementwise) pairing shifts.
-
-    HBM cost: volP is 8x the volume (~350 MB bf16 at flagship scale) — the
-    trade is decisively won by the gather/scatter savings. Pass ``paired`` =
-    ``paired_volume(vol)`` to share one build across several sample calls.
-
-    Args: vol [D, H, W, C]; grid [..., 3] (x, y, z) in [-1, 1].
-    Returns: [..., C]
+    Autodiff transposes the stack+moveaxis build into a full relayout of the
+    cotangent super-volume (~358 MB at flagship scale) — measured as the
+    dominant share of the warped-sites d_vol backward (tools/
+    probe_paired_vjp.py; the clean 427k-row scatter itself is ~10 ms,
+    tools/probe_block_gather.py). The hand adjoint is the algebraic fold
+    d_vol[a, b, e, c] = Σ_{dz,dy,dx} dP[a+1-dz, b+1-dy, e+1-dx, oct, c]
+    written as a sum of 8 STATIC slices of the cotangent — indices are always
+    in range for the kept region, so it is one fused elementwise pass with no
+    pads, no transposes, and the output lands directly in base [D, H, W, C]
+    layout. (A separable pad-shift fold over (2, 2, 2, C) minor axes measured
+    SLOWER than autodiff — lane-poor minor layout; see BENCH_NOTES round 4.)
     """
-    from .. import flags as _flags
-    use_dma_rows = _flags.DMA_ROW_GATHER
-    D, H, W, C = vol.shape
-    flat = paired_volume(vol) if paired is None else paired
 
+    @jax.custom_vjp
+    def build(vol):
+        return _paired_build(vol)
+
+    def fwd(vol):
+        return _paired_build(vol), None
+
+    def bwd(_, d_flat):
+        # separable: fold one axis per pass, consuming the octant axis MSB
+        # first so each pass adds two CONTIGUOUS column halves (32C, 16C, 8C
+        # bytes of contiguity) at a unit row shift — all static slices, no
+        # pads. Measured on the v5e at flagship scale (tools/
+        # probe_paired_vjp.py): this fold is 19.1 ms standalone (flat 8-slice
+        # form within noise, 19.3), and the isolated d_vol chain (fwd + expand
+        # + scatter + fold) drops 94.1 -> 77.1 ms vs plain autodiff. In the
+        # FULL train step the A/B is neutral (4,216 vs 4,245 rays/s;
+        # step_nodvolgrad delta 45.1 vs 44.8 ms) — in context XLA's transpose
+        # of the build already reduces to an equivalent fold — so this VJP's
+        # value is pinning that reduction deterministically, not a step win.
+        dP = d_flat.reshape(D + 1, H + 1, W + 1, 8, C)
+        A = dP[1:, :, :, 0:4] + dP[:-1, :, :, 4:8]     # dz → [D,H+1,W+1,4,C]
+        B = A[:, 1:, :, 0:2] + A[:, :-1, :, 2:4]       # dy → [D,H,W+1,2,C]
+        d_vol = B[:, :, 1:, 0] + B[:, :, :-1, 1]       # dx → [D,H,W,C]
+        return (d_vol,)
+
+    build.defvjp(fwd, bwd)
+    return build
+
+
+def _paired_taps(grid, D, H, W):
+    """Padded-row indices + octant weights for the paired gather.
+
+    Returns (row_idx int32 [...], w float32 [..., 2, 2, 2]) with w holding the
+    trilinear octant weights (zeros for out-of-bounds taps — torch
+    grid_sample "zeros" semantics).
+    """
     x = _unnormalize(grid[..., 0], W)
     y = _unnormalize(grid[..., 1], H)
     z = _unnormalize(grid[..., 2], D)
@@ -185,27 +227,63 @@ def grid_sample_3d_paired(vol, grid, paired=None):
         w1 = jnp.where(m1, f, 0.0)
         # padded-row index: base floor shifted by the zero slab; clip keeps it
         # gatherable, and any clipped case has both weights masked to zero
-        return jnp.clip(v0 + 1, 0, n).astype(jnp.int32), w0, w1
+        i0 = jnp.clip(v0 + 1, 0, n).astype(jnp.int32)
+        return i0, jnp.stack([w0, w1], -1)
 
-    ix0, wx0, wx1 = taps(x, W)
-    iy0, wy0, wy1 = taps(y, H)
-    iz0, wz0, wz1 = taps(z, D)
+    ix0, wx = taps(x, W)
+    iy0, wy = taps(y, H)
+    iz0, wz = taps(z, D)
     row_idx = (iz0 * (H + 1) + iy0) * (W + 1) + ix0
-    if use_dma_rows and jax.default_backend() == "tpu":
+    w = (wz[..., :, None, None] * wy[..., None, :, None]
+         * wx[..., None, None, :])                             # [..., 2,2,2]
+    return row_idx, w
+
+
+def _take_paired_rows(flat, row_idx):
+    from .. import flags as _flags
+    if _flags.DMA_ROW_GATHER and jax.default_backend() == "tpu":
         # DMA-pipelined row gather (kernels/dma_gather.py): the scalar core
         # issues one async copy per row with a bounded in-flight window,
         # overlapping HBM latency instead of serializing on it like the XLA
         # row gather. Identical values; VJP is the same row scatter-add.
         from ..kernels.dma_gather import take_rows
-        rows = take_rows(flat, row_idx)                        # [..., 8C]
-    else:
-        rows = jnp.take(flat, row_idx, axis=0)                 # [..., 8C]
+        return take_rows(flat, row_idx)                        # [..., 8C]
+    return jnp.take(flat, row_idx, axis=0)                     # [..., 8C]
+
+
+def _rows_weights_combine(rows, w, C):
     octo = rows.reshape(rows.shape[:-1] + (2, 2, 2, C))
-    w = (jnp.stack([wz0, wz1], -1)[..., :, None, None]
-         * jnp.stack([wy0, wy1], -1)[..., None, :, None]
-         * jnp.stack([wx0, wx1], -1)[..., None, None, :])      # [..., 2,2,2]
     return jnp.einsum("...zyxc,...zyx->...c", octo.astype(jnp.float32),
                       w.astype(jnp.float32))
+
+
+def grid_sample_3d_paired(vol, grid, paired=None):
+    """Trilinear 3D sampling via ONE wide gather per point ("zeros" mode).
+
+    Identical taps/weights to ``grid_sample_3d`` (bit-exact, verified on a
+    v5e), but the 8 corner taps are pre-paired into a super-volume
+    ``volP[z, y, x] = vol[z..z+1, y..y+1, x..x+1, :]`` of 8·C contiguous
+    channels, so each point needs one row gather of 8C elements instead of 8
+    gathers of C. TPU gathers are per-row latency-bound: measured 306 → 133 ms
+    fwd+bwd for the flagship's 427k warped sample sites (tools/
+    bench_warped_gather.py). Differentiation is plain autodiff — the gather
+    transposes to a clean wide-row scatter-add, and the pairing adjoint is
+    handled by ``paired_volume``'s custom VJP (direct 8-slice fold). A fully
+    hand-written sampler VJP (separable pad-shift fold) measured SLOWER than
+    autodiff on the chip and was dropped (BENCH_NOTES round 4).
+
+    HBM cost: volP is 8x the volume (~350 MB bf16 at flagship scale) — the
+    trade is decisively won by the gather/scatter savings. Pass ``paired`` =
+    ``paired_volume(vol)`` to share one build across several sample calls.
+
+    Args: vol [D, H, W, C]; grid [..., 3] (x, y, z) in [-1, 1].
+    Returns: [..., C]
+    """
+    D, H, W, C = vol.shape
+    flat = paired_volume(vol) if paired is None else paired
+    row_idx, w = _paired_taps(grid, D, H, W)
+    rows = _take_paired_rows(flat, row_idx)
+    return _rows_weights_combine(rows, w, C)
 
 
 def resize_bilinear_align_corners(img, out_hw):
