@@ -184,6 +184,59 @@ def main(modes):
         timed("step_nofeatgrad", step1nf, state)
         _mv2.build_cost_volume = orig_bcv2
 
+    if "step_nofoldgrad" in modes:
+        # zero the paired-build adjoint ONLY: the warped-sites backward still
+        # runs the octant-weight expand + wide-row scatter (d_flat is
+        # computed) but the concat-transpose fold back to [D, H, W, C] and
+        # everything d_vol feeds upstream of THIS consumer are skipped — the
+        # difference vs "step" isolates the fold; vs "step_nodvolgrad"
+        # isolates expand+scatter
+        from zest_tpu.ops import grid_sample as _gs
+        orig_pv = _gs.paired_volume
+
+        @jax.custom_vjp
+        def pv_nofold(vol):
+            return orig_pv(vol)
+
+        def pv_nofold_fwd(vol):
+            return orig_pv(vol), jax.lax.stop_gradient(vol)
+
+        def pv_nofold_bwd(res, g):
+            # consume g so the scatter that produces it is NOT DCE'd
+            eps = (jnp.sum(g.astype(jnp.float32)[::1009, :2]) * 1e-30)
+            return (jnp.zeros_like(res) + eps.astype(res.dtype),)
+
+        pv_nofold.defvjp(pv_nofold_fwd, pv_nofold_bwd)
+        _gs.paired_volume = pv_nofold
+        step_nfold = system.make_train_step(opt)
+
+        def step1nfold(st):
+            st2, _ = step_nfold(st, batch, rng, phase)
+            return st2
+        timed("step_nofoldgrad", step1nfold, state)
+        _gs.paired_volume = orig_pv
+
+    if "step_nowarpcoordgrad" in modes:
+        # stop_gradient on the warped sampler's COORDINATES: d_vol (expand +
+        # scatter + fold) still runs, the flow-gradient side (d_ndc through
+        # the taps) is dropped — the difference vs "step" isolates the
+        # coordinate-gradient cost of the warped sampling
+        from zest_tpu.kernels import trilinear as _tri2
+        orig_diff2 = _tri2.sample_volume_zbanded_diff
+
+        def sg_coord(vol, ndc, band=6, approx=None, paired=None):
+            return orig_diff2(vol, jax.lax.stop_gradient(ndc), band=band,
+                              approx=approx, paired=paired)
+
+        _tri2.sample_volume_zbanded_diff = sg_coord
+        step_ncg = system.make_train_step(opt)
+
+        def step1ncg(st):
+            st2, _ = step_ncg(st, batch, rng, phase)
+            return st2
+        timed("step_nowarpcoordgrad", step1ncg, state)
+        _tri2.sample_volume_zbanded_diff = orig_diff2
+
     if "step_nodvolgrad" in modes:
         # stop_gradient on the VOLUME argument of the flow-warped sampler:
         # backward keeps coordinate (flow) gradients but drops the octo-paired

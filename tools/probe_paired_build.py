@@ -1,0 +1,436 @@
+"""A/B probe: octo-paired super-volume BUILD formulations (real chip).
+
+probe_paired_vjp.py established the warped-sites fwd is ~30.5 ms of which the
+row gather is only ~8 (probe_block_gather.py) — so the paired BUILD is ~20 ms
+for what is logically a 44 MB read + 354 MB write (<1 ms at HBM speed). The
+suspected culprit is layout: the stack+moveaxis build materializes arrays
+whose minor dims are (8, C=8) — 8 of 128 lanes occupied, 16x bandwidth waste.
+
+Candidate `flat2d`: pad the volume once to [D+2, H+2, W+2, C], flatten rows,
+then three lane-CONCAT passes each pairing a row-shifted copy (x: shift 1,
+y: shift W+2, z: shift (H+2)(W+2)) — every intermediate is 2D [rows, k*C]
+with k*C lanes (8 -> 16 -> 32 -> 64), no 4D reshapes, no transposes, and the
+gather indexes the padded row space directly (garbage wrap-rows are never
+addressed: tap indices are clipped to [0, dim]), so there is NO compaction
+pass. Octant lane order matches the shipped build (oct = dz*4+dy*2+dx).
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/probe_paired_build.py
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from zest_tpu.ops.grid_sample import (_rows_weights_combine,  # noqa
+                                      _unnormalize)
+
+D, H, W, C = 128, 120, 176, 8
+N = 1112 * 128 * 3
+STEPS = 30
+
+
+def _paired_build(vol):
+    """Superseded 4D stack+moveaxis build (kept local for the historical A/B;
+    the shipped ops/grid_sample.paired_volume is now the flat2d form below)."""
+    volZ2 = jnp.pad(vol, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    octants = [volZ2[dz:dz + D + 1, dy:dy + H + 1, dx:dx + W + 1]
+               for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
+    volP = jnp.moveaxis(jnp.stack(octants, 0), 0, 3)
+    return volP.reshape((D + 1) * (H + 1) * (W + 1), 8 * C)
+
+
+def _paired_taps(grid, Dn, Hn, Wn):
+    """Tap indices/weights with the 4D table's (H+1, W+1) strides."""
+    x = _unnormalize(grid[..., 0], Wn)
+    y = _unnormalize(grid[..., 1], Hn)
+    z = _unnormalize(grid[..., 2], Dn)
+
+    def taps(v, n):
+        v0 = jnp.floor(v)
+        f = v - v0
+        w0 = jnp.where((v0 >= 0) & (v0 <= n - 1), 1.0 - f, 0.0)
+        w1 = jnp.where((v0 + 1 >= 0) & (v0 + 1 <= n - 1), f, 0.0)
+        return (jnp.clip(v0 + 1, 0, n).astype(jnp.int32),
+                jnp.stack([w0, w1], -1))
+
+    ix0, wx = taps(x, Wn)
+    iy0, wy = taps(y, Hn)
+    iz0, wz = taps(z, Dn)
+    row_idx = (iz0 * (Hn + 1) + iy0) * (Wn + 1) + ix0
+    w = (wz[..., :, None, None] * wy[..., None, :, None]
+         * wx[..., None, None, :])
+    return row_idx, w
+
+
+def build_flat2d(vol):
+    volPad = jnp.pad(vol, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    f = volPad.reshape(-1, vol.shape[-1])
+    W2 = W + 2
+    T2 = (H + 2) * (W + 2)
+    x = jnp.concatenate([f[:-1], f[1:]], -1)
+    y = jnp.concatenate([x[:-W2], x[W2:]], -1)
+    return jnp.concatenate([y[:-T2], y[T2:]], -1)      # [rows, 8C]
+
+
+def taps_flat2d(grid):
+    """_paired_taps with padded-space row strides (H+2, W+2)."""
+    x = _unnormalize(grid[..., 0], W)
+    y = _unnormalize(grid[..., 1], H)
+    z = _unnormalize(grid[..., 2], D)
+
+    def taps(v, n):
+        v0 = jnp.floor(v)
+        f = v - v0
+        m0 = (v0 >= 0) & (v0 <= n - 1)
+        m1 = (v0 + 1 >= 0) & (v0 + 1 <= n - 1)
+        w0 = jnp.where(m0, 1.0 - f, 0.0)
+        w1 = jnp.where(m1, f, 0.0)
+        i0 = jnp.clip(v0 + 1, 0, n).astype(jnp.int32)
+        return i0, jnp.stack([w0, w1], -1)
+
+    ix0, wx = taps(x, W)
+    iy0, wy = taps(y, H)
+    iz0, wz = taps(z, D)
+    row_idx = (iz0 * (H + 2) + iy0) * (W + 2) + ix0
+    w = (wz[..., :, None, None] * wy[..., None, :, None]
+         * wx[..., None, None, :])
+    return row_idx, w
+
+
+def sample_current(vol, grid):
+    flat = _paired_build(vol)
+    row_idx, w = _paired_taps(grid, D, H, W)
+    rows = jnp.take(flat, row_idx, axis=0)
+    return _rows_weights_combine(rows, w, C)
+
+
+def sample_flat2d(vol, grid):
+    flat = build_flat2d(vol)
+    row_idx, w = taps_flat2d(grid)
+    rows = jnp.take(flat, row_idx, axis=0)
+    return _rows_weights_combine(rows, w, C)
+
+
+def time_build(name, build, vol0):
+    @jax.jit
+    def step(v):
+        flat = build(v)
+        s = jnp.sum(flat[::997, :].astype(jnp.float32))
+        return v + s * 1e-12, s
+
+    v, l = step(vol0)
+    float(l)
+    t0 = time.perf_counter()
+    v = vol0
+    for _ in range(STEPS):
+        v, l = step(v)
+    float(l)
+    print(f"build {name:10s} {(time.perf_counter() - t0) / STEPS * 1e3:8.2f} "
+          f"ms", flush=True)
+
+
+def time_mode(name, fn, vol, grid0, g, mode):
+    @jax.jit
+    def step(gr):
+        def loss(v, n):
+            if mode == "dvol":
+                n = jax.lax.stop_gradient(n)
+            return jnp.vdot(fn(v, n), g)
+
+        if mode == "fwd":
+            l = loss(vol, gr)
+            return gr + l * 1e-12, l
+        l, grads = jax.value_and_grad(loss, argnums=(0, 1))(vol, gr)
+        dn = grads[1] if mode != "dvol" else jnp.zeros_like(gr)
+        return (gr + dn * 1e-9 + l * 1e-12,
+                l + jnp.sum(grads[0].astype(jnp.float32)[::7, 0, 0, 0]))
+
+    gr, l = step(grid0)
+    float(l)
+    t0 = time.perf_counter()
+    gr = grid0
+    for _ in range(STEPS):
+        gr, l = step(gr)
+    float(l)
+    print(f"{name:16s} {mode:6s} {(time.perf_counter() - t0) / STEPS * 1e3:8.2f}"
+          f" ms ({N} pts)", flush=True)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    print(f"devices: {jax.devices()}", flush=True)
+    vol = jnp.asarray(rng.normal(size=(D, H, W, C)).astype(np.float32)
+                      ).astype(jnp.bfloat16)
+    grid = jnp.asarray(rng.uniform(-1.02, 1.02, size=(N, 3)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
+
+    # correctness: sampled values + both grads must match the current path
+    vol32 = jnp.asarray(rng.normal(size=(D, H, W, C)).astype(np.float32))
+    sl = grid[:8192]
+    oa = jax.jit(sample_current)(vol32, sl)
+    ob = jax.jit(sample_flat2d)(vol32, sl)
+    print(f"fwd: max|Δ| = {float(jnp.max(jnp.abs(oa - ob))):.3e}", flush=True)
+
+    def l_a(v, n):
+        return jnp.vdot(sample_current(v, n), g[:8192])
+
+    def l_b(v, n):
+        return jnp.vdot(sample_flat2d(v, n), g[:8192])
+
+    ga = jax.jit(jax.grad(l_a, argnums=(0, 1)))(vol32, sl)
+    gb = jax.jit(jax.grad(l_b, argnums=(0, 1)))(vol32, sl)
+    for i, nm in ((0, "d_vol"), (1, "d_grid")):
+        err = float(jnp.max(jnp.abs(ga[i] - gb[i])))
+        ref = float(jnp.max(jnp.abs(ga[i]))) or 1.0
+        print(f"{nm}: max|Δ| = {err:.3e} (rel {err / ref:.2e})", flush=True)
+
+    time_build("current", _paired_build, vol)
+    time_build("flat2d", build_flat2d, vol)
+    for mode in ("fwd", "dvol", "full"):
+        time_mode("current", sample_current, vol, grid, g, mode)
+        time_mode("flat2d", sample_flat2d, vol, grid, g, mode)
+
+
+if __name__ == "__main__" and not ({"--barrier", "--mxufold"} & set(__import__("sys").argv)):
+    main()
+
+
+# ---------------------------------------------------------------------------
+# round-4 follow-up: in-chain bwd reads ~33 ms vs ~13 ms of isolated parts —
+# test whether materializing the scatter's updates (optimization_barrier in a
+# custom take-VJP) stops XLA folding the octant-weight expand into the serial
+# scatter loop, and measure the flat2d fold in isolation.
+# ---------------------------------------------------------------------------
+
+def _take_barrier(flat, row_idx):
+    n_rows, width = flat.shape
+    dt = flat.dtype
+
+    @jax.custom_vjp
+    def take(f, idx):
+        return jnp.take(f, idx, axis=0)
+
+    def fwd(f, idx):
+        return jnp.take(f, idx, axis=0), idx
+
+    def bwd(idx, g):
+        g = jax.lax.optimization_barrier(g.astype(dt))
+        d_flat = jnp.zeros((n_rows, width), dt
+                           ).at[idx.reshape(-1)].add(g.reshape(-1, width))
+        return d_flat, None
+
+    take.defvjp(fwd, bwd)
+    return take(flat, row_idx)
+
+
+def sample_flat2d_barrier(vol, grid):
+    flat = build_flat2d(vol)
+    row_idx, w = taps_flat2d(grid)
+    rows = _take_barrier(flat, row_idx)
+    return _rows_weights_combine(rows, w, C)
+
+
+def sample_flat2d_barrier2(vol, grid):
+    """barrier'd take AND a barrier between scatter and the build fold."""
+    flat = jax.lax.optimization_barrier(build_flat2d(vol))
+    row_idx, w = taps_flat2d(grid)
+    rows = _take_barrier(flat, row_idx)
+    return _rows_weights_combine(rows, w, C)
+
+
+def parts_flat2d(vol, grid, g):
+    n_rows = ((D + 2) * (H + 2) * (W + 2)) - 1 - (W + 2) - (H + 2) * (W + 2)
+    fold = jax.vjp(build_flat2d, vol)[1]
+    row_idx, w = jax.jit(taps_flat2d)(grid)
+    rng = np.random.default_rng(1)
+    d_rows0 = jnp.asarray(rng.normal(size=(N, 8 * C)).astype(np.float32)
+                          ).astype(jnp.bfloat16)
+
+    def t(name, step, x0):
+        x, l = jax.jit(step)(x0)
+        float(l)
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            x, l = jax.jit(step)(x)
+        float(l)
+        print(f"{name:18s} {(time.perf_counter() - t0) / STEPS * 1e3:8.2f} ms",
+              flush=True)
+
+    def scatter_step(dr):
+        d_flat = jnp.zeros((n_rows, 8 * C), jnp.bfloat16
+                           ).at[row_idx.reshape(-1)].add(dr)
+        s = jnp.sum(d_flat.astype(jnp.float32)[::997, :2])
+        return (dr + s * 1e-12).astype(dr.dtype), s
+
+    t("scatter", scatter_step, d_rows0)
+
+    d_flat0 = jnp.zeros((n_rows, 8 * C), jnp.bfloat16
+                        ).at[row_idx.reshape(-1)].add(d_rows0)
+
+    def fold_step(df):
+        (d_vol,) = fold(df)
+        s = jnp.sum(d_vol.astype(jnp.float32))
+        return (df + s * 1e-12).astype(df.dtype), s
+
+    t("fold(flat2d)", fold_step, d_flat0)
+
+    def scatter_fold_step(dr):
+        d_flat = jnp.zeros((n_rows, 8 * C), jnp.bfloat16
+                           ).at[row_idx.reshape(-1)].add(dr)
+        (d_vol,) = fold(d_flat)
+        s = jnp.sum(d_vol.astype(jnp.float32))
+        return (dr + s * 1e-12).astype(dr.dtype), s
+
+    t("scatter+fold", scatter_fold_step, d_rows0)
+
+
+def main2():
+    rng = np.random.default_rng(0)
+    print(f"devices: {jax.devices()}", flush=True)
+    vol = jnp.asarray(rng.normal(size=(D, H, W, C)).astype(np.float32)
+                      ).astype(jnp.bfloat16)
+    grid = jnp.asarray(rng.uniform(-1.02, 1.02, size=(N, 3)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
+
+    vol32 = jnp.asarray(rng.normal(size=(D, H, W, C)).astype(np.float32))
+    sl = grid[:8192]
+    ga = jax.jit(jax.grad(
+        lambda v, n: jnp.vdot(sample_flat2d(v, n), g[:8192]),
+        argnums=(0, 1)))(vol32, sl)
+    gb = jax.jit(jax.grad(
+        lambda v, n: jnp.vdot(sample_flat2d_barrier(v, n), g[:8192]),
+        argnums=(0, 1)))(vol32, sl)
+    for i, nm in ((0, "d_vol"), (1, "d_grid")):
+        err = float(jnp.max(jnp.abs(ga[i] - gb[i])))
+        print(f"barrier/{nm}: max|Δ| = {err:.3e}", flush=True)
+
+    parts_flat2d(vol, grid, g)
+    for mode in ("dvol", "full"):
+        time_mode("flat2d", sample_flat2d, vol, grid, g, mode)
+        time_mode("flat2d_barrier", sample_flat2d_barrier, vol, grid, g, mode)
+        time_mode("flat2d_barrier2", sample_flat2d_barrier2, vol, grid, g,
+                  mode)
+
+
+if __name__ == "__main__" and "--barrier" in __import__("sys").argv:
+    main2()
+    raise SystemExit(0)
+
+
+# ---------------------------------------------------------------------------
+# MXU-fold variant: the HLO of scatter+fold shows XLA inserting a wide.body
+# relayout while-loop whenever a narrow ([rows, 8/16]) intermediate flips
+# between row-/column-major tiled layouts. Avoid narrow arrays entirely: do
+# the dz fold as a wide 2D slice-add, then fold dy+dx with TWO selection
+# matmuls on the lane-merged view [ (D+2)(H+2), (W+2)*32 ] -> every
+# materialized array is >=1.4k lanes and the 2-hot selection rides the MXU
+# (~0.5 TFLOP, trivial).
+# ---------------------------------------------------------------------------
+
+def _fold_sel_matrices():
+    """M_dy [(W+2)*32, (W+2)*8] with M[x_in*32 + dy*16 + dx*8 + c,
+    x_out*8 + c] = 1 where x_in = x_out - dx (x_out ranges the FULL padded
+    W+2 line; garbage x_out columns are sliced away afterwards, and the
+    x_out=0, dx=1 cross-line leak is provably zero: it reads a garbage-x
+    row of the previous line, which is never scattered)."""
+    W2 = W + 2
+    i = np.arange(W2 * 32)
+    x_in, rem = np.divmod(i, 32)
+    dy_in, rem = np.divmod(rem, 16)
+    dx_in, c_in = np.divmod(rem, 8)
+    o = np.arange(W2 * 8)
+    x_out, c_out = np.divmod(o, 8)
+    ms = []
+    for dy in (0, 1):
+        m = ((dy_in[:, None] == dy) & (c_in[:, None] == c_out[None, :])
+             & (x_in[:, None] == x_out[None, :] - dx_in[:, None]))
+        ms.append(m.astype(np.float32))       # numpy: safe to cache globally
+    return ms
+
+
+_M_DY = None
+
+
+def build_flat2d_mxufold(vol):
+    global _M_DY
+    if _M_DY is None:
+        _M_DY = _fold_sel_matrices()
+    approx = vol.dtype == jnp.bfloat16
+    mdt = jnp.bfloat16 if approx else jnp.float32
+    prec = (jax.lax.Precision.DEFAULT if approx
+            else jax.lax.Precision.HIGHEST)
+    m0 = jnp.asarray(_M_DY[0], mdt)
+    m1 = jnp.asarray(_M_DY[1], mdt)
+
+    @jax.custom_vjp
+    def build(v):
+        return build_flat2d(v)
+
+    def fwd(v):
+        return build_flat2d(v), None
+
+    def bwd(_, dZ):
+        W2 = W + 2
+        T2 = (H + 2) * (W + 2)
+        n_f = (D + 2) * (H + 2) * (W + 2)
+        # dz fold: wide [N3, 64] -> [N2=n_f-1-W2, 32] slice-adds
+        dY = (jnp.pad(dZ[:, :32], ((0, T2), (0, 0)))
+              + jnp.pad(dZ[:, 32:], ((T2, 0), (0, 0))))        # [N2, 32]
+        # merge x into lanes: pad rows to n_f, view as y-lines
+        dYm = jnp.pad(dY, ((0, 1 + W2), (0, 0))).reshape(-1, W2 * 32)
+        R = dYm.shape[0]                                       # (D+2)(H+2)
+        # dy fold via row shift + dx fold via selection matmul (MXU)
+        t0 = jnp.dot(dYm, m0, preferred_element_type=jnp.float32,
+                     precision=prec)
+        dy1 = jnp.pad(dYm[:-1], ((1, 0), (0, 0)))
+        t1 = jnp.dot(dy1, m1, preferred_element_type=jnp.float32,
+                     precision=prec)
+        DV = (t0 + t1).reshape(D + 2, H + 2, W2 * 8)
+        d_vol = DV[1:-1, 1:-1, 8:8 + W * 8].reshape(D, H, W, 8)
+        return (d_vol.astype(vol.dtype),)
+
+    build.defvjp(fwd, bwd)
+    return build(vol)
+
+
+def sample_flat2d_mxufold(vol, grid):
+    flat = build_flat2d_mxufold(vol)
+    row_idx, w = taps_flat2d(grid)
+    rows = jnp.take(flat, row_idx, axis=0)
+    return _rows_weights_combine(rows, w, C)
+
+
+def main3():
+    rng = np.random.default_rng(0)
+    print(f"devices: {jax.devices()}", flush=True)
+    vol = jnp.asarray(rng.normal(size=(D, H, W, C)).astype(np.float32)
+                      ).astype(jnp.bfloat16)
+    grid = jnp.asarray(rng.uniform(-1.02, 1.02, size=(N, 3)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
+
+    vol32 = jnp.asarray(rng.normal(size=(D, H, W, C)).astype(np.float32))
+    sl = grid[:8192]
+    ga = jax.jit(jax.grad(
+        lambda v, n: jnp.vdot(sample_flat2d(v, n), g[:8192]),
+        argnums=(0, 1)))(vol32, sl)
+    gb = jax.jit(jax.grad(
+        lambda v, n: jnp.vdot(sample_flat2d_mxufold(v, n), g[:8192]),
+        argnums=(0, 1)))(vol32, sl)
+    for i, nm in ((0, "d_vol"), (1, "d_grid")):
+        err = float(jnp.max(jnp.abs(ga[i] - gb[i])))
+        ref = float(jnp.max(jnp.abs(ga[i]))) or 1.0
+        print(f"mxufold/{nm}: max|Δ| = {err:.3e} (rel {err / ref:.2e})",
+              flush=True)
+
+    for mode in ("dvol", "full"):
+        time_mode("flat2d", sample_flat2d, vol, grid, g, mode)
+        time_mode("flat2d_mxufold", sample_flat2d_mxufold, vol, grid, g, mode)
+
+
+if __name__ == "__main__" and "--mxufold" in __import__("sys").argv:
+    main3()
+    raise SystemExit(0)

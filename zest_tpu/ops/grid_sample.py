@@ -19,6 +19,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _unnormalize(coord, size):
@@ -125,83 +126,112 @@ def grid_sample_3d(vol, grid, padding_mode: str = "zeros"):
 def paired_volume(vol):
     """Octo-paired super-volume build for ``grid_sample_3d_paired``.
 
-    Returns flat [(D+1)·(H+1)·(W+1), 8·C] with row (z, y, x) holding the 8
-    corner taps vol[z-1..z, y-1..y, x-1..x] (zero slabs at the -1 borders).
-    Factored out so callers that sample the SAME volume several times per step
-    (the t±1 scene-flow-warped lookups + chain re-render) build it ONCE and
-    share it — each build is ~350 MB of HBM traffic and the builds sit inside
-    separate lax.cond bodies where XLA cannot CSE them.
+    Returns flat [(D+2)·(H+2)·(W+2), 8·C]: row r = (z·(H+2) + y)·(W+2) + x
+    (z∈[0,D], y∈[0,H], x∈[0,W]) holds the 8 corner taps
+    vol[z-1..z, y-1..y, x-1..x] in lane order oct·C + c, oct = dz·4+dy·2+dx
+    (zero slabs at both borders; floor = -1 taps — frequent for flow-warped
+    coords — read a (0, vol[0]) pair instead of silently clamping to vol[1]).
+    Rows whose x = W+1 / y = H+1 / z = D+1 are wrap garbage and are never
+    addressed: ``_paired_taps`` clips every axis index to [0, dim].
 
-    Carries a custom VJP: plain autodiff transposes the stack+moveaxis build
-    into a ~358 MB relayout of the cotangent super-volume; the hand adjoint is
-    a direct 8-static-slice sum straight into base [D, H, W, C] layout (one
-    fused elementwise pass) — see ``_paired_volume_for``.
+    LAYOUT IS THE WHOLE GAME here (v5e, flagship 128x120x176x8 bf16 volume,
+    427k sites, tools/probe_paired_build.py): the previous 8-octant
+    stack+moveaxis build materialized arrays with (8, C=8) minor dims — 8 of
+    128 lanes occupied, 16x bandwidth waste — costing ~20 ms fwd and a ~30 ms
+    autodiff fold bwd for what is logically a 44 MB read + 361 MB write. This
+    form pads the volume ONCE, flattens to 2D rows, and lane-CONCATS a
+    row-shifted copy per axis (x: shift 1, y: shift W+2, z: shift
+    (H+2)(W+2)) — every intermediate is 2D [rows, k·C], there is no 4D
+    reshape, no transpose, and no compaction pass (the gather indexes the
+    padded row space directly). Measured: sampler fwd 31.0 -> 14.9 ms, full
+    fwd+bwd chain 95.1 -> 48.9 -> 41.2 ms, bit-exact fwd.
+
+    The adjoint is a custom VJP (``_paired_fold_for``): plain autodiff
+    transposes the concats to 2D slice-adds, but the dy/dx passes produce
+    [rows, 2C] / [rows, C] arrays, and XLA relayouts such narrow (<32-lane)
+    intermediates between row-/column-major tilings with a serial wide.body
+    while-loop (seen in the compiled HLO; ~8 ms each). The custom fold keeps
+    the dz pass wide and folds dy+dx with two 2-hot SELECTION MATMULS on the
+    lane-merged view [(D+2)(H+2), (W+2)·4C] — rows are whole y-lines, so a
+    dy shift is one row shift, a dx shift is lane index arithmetic encoded in
+    the selection matrix, and every materialized array is ≥1.4k lanes. The
+    ~0.5 TFLOP of 2-hot matmul is MXU change (48.9 -> 41.2 ms full chain,
+    grad-exact: selection entries are 0/1, exact in bf16; f32 volumes run
+    the matmuls at Precision.HIGHEST).
+
+    Factored out so callers that sample the SAME volume several times per
+    step can build once and share (pass as ``paired=``).
     """
     D, H, W, C = vol.shape
-    return _paired_volume_for(D, H, W, C)(vol)
+    return _paired_fold_for(D, H, W, C, vol.dtype == jnp.bfloat16)(vol)
 
 
-def _paired_build(vol):
-    """Raw octo-paired build (no custom VJP) — see ``paired_volume``."""
+def _paired_concat_build(vol):
+    """Raw flat2d build (three lane-concat passes) — see ``paired_volume``."""
     D, H, W, C = vol.shape
-    # leading zero slab per axis: a point just OUTSIDE the volume whose +1 tap
-    # is the first slice (floor = -1, frequent for flow-warped coords) must
-    # gather a row whose pair halves are (0, vol[0]) — clamping the row to 0
-    # would silently substitute vol[1] for the +1 tap. One trailing pad too, so
-    # every octant below is a static slice of the same padded array.
-    # NOTE: built as ONE 8-way leading-axis stack of static slices + ONE
-    # transpose — a minor-dim concat (and a pair-of-pairs chain) made XLA
-    # lower the 346 MB build into serial while/dynamic-update-slice streams
-    # (~36 ms/step, round-3 profile); an 8x one-hot-MXU accumulate measured
-    # slower end-to-end (BENCH_NOTES round 3).
-    volZ2 = jnp.pad(vol, ((1, 1), (1, 1), (1, 1), (0, 0)))
-    octants = [volZ2[dz:dz + D + 1, dy:dy + H + 1, dx:dx + W + 1]
-               for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
-    volP = jnp.moveaxis(jnp.stack(octants, 0), 0, 3)  # [D+1, H+1, W+1, 8, C]
-    return volP.reshape((D + 1) * (H + 1) * (W + 1), 8 * C)
+    vol_pad = jnp.pad(vol, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    f = vol_pad.reshape(-1, C)               # [(D+2)(H+2)(W+2), C]
+    w2 = W + 2
+    t2 = (H + 2) * (W + 2)
+    x = jnp.concatenate([f[:-1], f[1:]], -1)          # dx pairs   [.., 2C]
+    y = jnp.concatenate([x[:-w2], x[w2:]], -1)        # dy pairs   [.., 4C]
+    return jnp.concatenate([y[:-t2], y[t2:]], -1)     # dz pairs   [.., 8C]
 
 
 @functools.lru_cache(maxsize=None)
-def _paired_volume_for(D, H, W, C):
-    """Shape-specialised paired build with a hand-written adjoint.
+def _fold_sel_np(W, C):
+    """Selection matrices M_dy [(W+2)·4C, (W+2)·C] for the dy+dx fold:
+    M_dy[x_in·4C + dy·2C + dx·C + c, x_out·C + c] = 1 where x_in = x_out - dx.
+    x_out spans the FULL padded W+2 line (garbage x_out columns are sliced
+    away afterwards); the x_out=0, dx=1 cross-line leak reads a garbage-x row
+    of the previous y-line, which is never scattered, hence provably zero."""
+    w2 = W + 2
+    i = np.arange(w2 * 4 * C)
+    x_in, rem = np.divmod(i, 4 * C)
+    dy_in, rem = np.divmod(rem, 2 * C)
+    dx_in, c_in = np.divmod(rem, C)
+    o = np.arange(w2 * C)
+    x_out, c_out = np.divmod(o, C)
+    return tuple(
+        ((dy_in[:, None] == dy) & (c_in[:, None] == c_out[None, :])
+         & (x_in[:, None] == x_out[None, :] - dx_in[:, None])
+         ).astype(np.float32)
+        for dy in (0, 1))
 
-    Autodiff transposes the stack+moveaxis build into a full relayout of the
-    cotangent super-volume (~358 MB at flagship scale) — measured as the
-    dominant share of the warped-sites d_vol backward (tools/
-    probe_paired_vjp.py; the clean 427k-row scatter itself is ~10 ms,
-    tools/probe_block_gather.py). The hand adjoint is the algebraic fold
-    d_vol[a, b, e, c] = Σ_{dz,dy,dx} dP[a+1-dz, b+1-dy, e+1-dx, oct, c]
-    written as a sum of 8 STATIC slices of the cotangent — indices are always
-    in range for the kept region, so it is one fused elementwise pass with no
-    pads, no transposes, and the output lands directly in base [D, H, W, C]
-    layout. (A separable pad-shift fold over (2, 2, 2, C) minor axes measured
-    SLOWER than autodiff — lane-poor minor layout; see BENCH_NOTES round 4.)
-    """
+
+@functools.lru_cache(maxsize=None)
+def _paired_fold_for(D, H, W, C, approx):
+    """Shape-specialised flat2d build with the MXU-selection fold adjoint
+    (see ``paired_volume`` for the measured story)."""
+    m0_np, m1_np = _fold_sel_np(W, C)
+    mdt = jnp.bfloat16 if approx else jnp.float32
+    prec = jax.lax.Precision.DEFAULT if approx else jax.lax.Precision.HIGHEST
+    w2 = W + 2
+    t2 = (H + 2) * (W + 2)
 
     @jax.custom_vjp
     def build(vol):
-        return _paired_build(vol)
+        return _paired_concat_build(vol)
 
     def fwd(vol):
-        return _paired_build(vol), None
+        return _paired_concat_build(vol), None
 
-    def bwd(_, d_flat):
-        # separable: fold one axis per pass, consuming the octant axis MSB
-        # first so each pass adds two CONTIGUOUS column halves (32C, 16C, 8C
-        # bytes of contiguity) at a unit row shift — all static slices, no
-        # pads. Measured on the v5e at flagship scale (tools/
-        # probe_paired_vjp.py): this fold is 19.1 ms standalone (flat 8-slice
-        # form within noise, 19.3), and the isolated d_vol chain (fwd + expand
-        # + scatter + fold) drops 94.1 -> 77.1 ms vs plain autodiff. In the
-        # FULL train step the A/B is neutral (4,216 vs 4,245 rays/s;
-        # step_nodvolgrad delta 45.1 vs 44.8 ms) — in context XLA's transpose
-        # of the build already reduces to an equivalent fold — so this VJP's
-        # value is pinning that reduction deterministically, not a step win.
-        dP = d_flat.reshape(D + 1, H + 1, W + 1, 8, C)
-        A = dP[1:, :, :, 0:4] + dP[:-1, :, :, 4:8]     # dz → [D,H+1,W+1,4,C]
-        B = A[:, 1:, :, 0:2] + A[:, :-1, :, 2:4]       # dy → [D,H,W+1,2,C]
-        d_vol = B[:, :, 1:, 0] + B[:, :, :-1, 1]       # dx → [D,H,W,C]
-        return (d_vol,)
+    def bwd(_, dZ):
+        m0 = jnp.asarray(m0_np, mdt)
+        m1 = jnp.asarray(m1_np, mdt)
+        # dz fold: wide [N3, 8C] -> [(D+2)(H+2)(W+2), 4C] slice-adds, padded
+        # straight into the lane-merged y-line view
+        dY = (jnp.pad(dZ[:, :4 * C], ((0, t2 + 1 + w2), (0, 0)))
+              + jnp.pad(dZ[:, 4 * C:], ((t2, 1 + w2), (0, 0))))
+        dYm = dY.reshape(-1, w2 * 4 * C)                 # [(D+2)(H+2), .]
+        # dy fold via row shift + dx fold via selection matmul (MXU)
+        tm0 = jnp.dot(dYm, m0, preferred_element_type=jnp.float32,
+                      precision=prec)
+        tm1 = jnp.dot(jnp.pad(dYm[:-1], ((1, 0), (0, 0))), m1,
+                      preferred_element_type=jnp.float32, precision=prec)
+        DV = (tm0 + tm1).reshape(D + 2, H + 2, w2 * C)
+        d_vol = DV[1:-1, 1:-1, C:C + W * C].reshape(D, H, W, C)
+        return (d_vol.astype(mdt if approx else jnp.float32),)
 
     build.defvjp(fwd, bwd)
     return build
@@ -233,7 +263,7 @@ def _paired_taps(grid, D, H, W):
     ix0, wx = taps(x, W)
     iy0, wy = taps(y, H)
     iz0, wz = taps(z, D)
-    row_idx = (iz0 * (H + 1) + iy0) * (W + 1) + ix0
+    row_idx = (iz0 * (H + 2) + iy0) * (W + 2) + ix0
     w = (wz[..., :, None, None] * wy[..., None, :, None]
          * wx[..., None, None, :])                             # [..., 2,2,2]
     return row_idx, w
@@ -266,13 +296,15 @@ def grid_sample_3d_paired(vol, grid, paired=None):
     channels, so each point needs one row gather of 8C elements instead of 8
     gathers of C. TPU gathers are per-row latency-bound: measured 306 → 133 ms
     fwd+bwd for the flagship's 427k warped sample sites (tools/
-    bench_warped_gather.py). Differentiation is plain autodiff — the gather
-    transposes to a clean wide-row scatter-add, and the pairing adjoint is
-    handled by ``paired_volume``'s custom VJP (direct 8-slice fold). A fully
-    hand-written sampler VJP (separable pad-shift fold) measured SLOWER than
-    autodiff on the chip and was dropped (BENCH_NOTES round 4).
+    bench_warped_gather.py), then 95.1 → 48.9 ms once the build/fold moved to
+    the 2D-flat lane-concat form (tools/probe_paired_build.py — see
+    ``paired_volume`` for the layout story). Differentiation is plain
+    autodiff end-to-end: the gather transposes to a clean wide-row
+    scatter-add and each build concat to a pair of 2D slice-adds. Hand-
+    written VJPs (separable pad-shift fold; 8-slice fold on the old 4D build)
+    measured no better and were dropped (BENCH_NOTES round 4).
 
-    HBM cost: volP is 8x the volume (~350 MB bf16 at flagship scale) — the
+    HBM cost: volP is ~8x the volume (~361 MB bf16 at flagship scale) — the
     trade is decisively won by the gather/scatter savings. Pass ``paired`` =
     ``paired_volume(vol)`` to share one build across several sample calls.
 
