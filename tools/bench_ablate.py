@@ -237,6 +237,54 @@ def main(modes):
         timed("step_nowarpcoordgrad", step1ncg, state)
         _tri2.sample_volume_zbanded_diff = orig_diff2
 
+    if "step_nomlpgrad" in modes:
+        # replace the fused NeRF-MLP backward with a cheap broadcast cotangent:
+        # the render/loss backward producing the MLP-output cotangent still
+        # runs (g is consumed), the conditioning/volume chain still receives a
+        # (tiny) gradient so nothing upstream is DCE'd, and adam still updates
+        # every param — the difference vs "step" isolates the MLP backward
+        from zest_tpu.kernels import fused_mlp as _fm
+        orig_apply = _fm.fused_nerf_apply
+
+        def fake_apply(field, field_params, p, f, v, approx=None):
+            @jax.custom_vjp
+            def wrapped(fp, p, f, v):
+                return orig_apply(field, fp, p, f, v, approx=approx)
+
+            def fwd(fp, p, f, v):
+                return orig_apply(field, fp, p, f, v, approx=approx), (fp, p, f, v)
+
+            def bwd(res, g):
+                fp, p, f, v = res
+                eps = jnp.sum(g.astype(jnp.float32)[::509]) * 1e-30
+                z = lambda a: jnp.zeros_like(a) + eps.astype(a.dtype)
+                return (jax.tree_util.tree_map(z, fp), z(p), z(f), z(v))
+
+            wrapped.defvjp(fwd, bwd)
+            return wrapped(field_params, p, f, v)
+
+        _fm.fused_nerf_apply = fake_apply
+        step_nm = system.make_train_step(opt)
+
+        def step1nm(st):
+            st2, _ = step_nm(st, batch, rng, phase)
+            return st2
+        timed("step_nomlpgrad", step1nm, state)
+        _fm.fused_nerf_apply = orig_apply
+
+    if "step_sgd" in modes:
+        # same step with adam swapped for plain sgd: the difference vs "step"
+        # isolates the optimizer update (adam moments over ~1.3M params)
+        import optax
+        opt_sgd = optax.sgd(1e-10)
+        state_sgd = TrainState(params, opt_sgd.init(params), jnp.asarray(0))
+        step_sg = system.make_train_step(opt_sgd)
+
+        def step1sg(st):
+            st2, _ = step_sg(st, batch, rng, phase)
+            return st2
+        timed("step_sgd", step1sg, state_sgd)
+
     if "step_nodvolgrad" in modes:
         # stop_gradient on the VOLUME argument of the flow-warped sampler:
         # backward keeps coordinate (flow) gradients but drops the octo-paired

@@ -195,7 +195,7 @@ def main():
         time_mode("flat2d", sample_flat2d, vol, grid, g, mode)
 
 
-if __name__ == "__main__" and not ({"--barrier", "--mxufold"} & set(__import__("sys").argv)):
+if __name__ == "__main__" and not ({"--barrier", "--mxufold", "--mxucombine"} & set(__import__("sys").argv)):
     main()
 
 
@@ -433,4 +433,80 @@ def main3():
 
 if __name__ == "__main__" and "--mxufold" in __import__("sys").argv:
     main3()
+    raise SystemExit(0)
+
+
+# ---------------------------------------------------------------------------
+# MXU-combine variant: the expand+scatter side composes at ~30 ms in-step vs
+# ~13 isolated — g [N, C=8] and w [N, 8] are themselves narrow arrays feeding
+# the scatter's update fusion. Reformulate the weights-combine so BOTH its
+# forward and its autodiff transpose only materialize [N, 64] forms, with
+# one-hot matmuls (MXU) doing every narrow<->wide conversion:
+#   out = ((rows * (w @ K)) @ K2)         K  [8, 8C] : w_oct -> oct*C lanes
+#                                         K2 [8C, C] : sum over octants
+#   d_rows = (g @ K2^T) * (w @ K)         (wide elementwise product)
+# ---------------------------------------------------------------------------
+
+def _combine_sel_np():
+    K = np.zeros((8, 8 * C), np.float32)
+    for oct_ in range(8):
+        K[oct_, oct_ * C:(oct_ + 1) * C] = 1.0
+    K2 = np.zeros((8 * C, C), np.float32)
+    for oct_ in range(8):
+        K2[oct_ * C + np.arange(C), np.arange(C)] = 1.0
+    return K, K2
+
+
+_K_NP = None
+
+
+def _combine_mxu(rows, w):
+    global _K_NP
+    if _K_NP is None:
+        _K_NP = _combine_sel_np()
+    K = jnp.asarray(_K_NP[0], jnp.float32)
+    K2 = jnp.asarray(_K_NP[1], jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    wk = jnp.dot(w.reshape(-1, 8).astype(jnp.float32), K, precision=hi)
+    prod = rows.reshape(-1, 8 * C).astype(jnp.float32) * wk
+    return jnp.dot(prod, K2, precision=hi).reshape(w.shape[:-3] + (C,))
+
+
+def sample_flat2d_mxucombine(vol, grid):
+    flat = build_flat2d_mxufold(vol)
+    row_idx, w = taps_flat2d(grid)
+    rows = jnp.take(flat, row_idx, axis=0)
+    return _combine_mxu(rows, w)
+
+
+def main4():
+    rng = np.random.default_rng(0)
+    print(f"devices: {jax.devices()}", flush=True)
+    vol = jnp.asarray(rng.normal(size=(D, H, W, C)).astype(np.float32)
+                      ).astype(jnp.bfloat16)
+    grid = jnp.asarray(rng.uniform(-1.02, 1.02, size=(N, 3)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
+
+    vol32 = jnp.asarray(rng.normal(size=(D, H, W, C)).astype(np.float32))
+    sl = grid[:8192]
+    ga = jax.jit(jax.grad(
+        lambda v, n: jnp.vdot(sample_flat2d(v, n), g[:8192]),
+        argnums=(0, 1)))(vol32, sl)
+    gb = jax.jit(jax.grad(
+        lambda v, n: jnp.vdot(sample_flat2d_mxucombine(v, n), g[:8192]),
+        argnums=(0, 1)))(vol32, sl)
+    for i, nm in ((0, "d_vol"), (1, "d_grid")):
+        err = float(jnp.max(jnp.abs(ga[i] - gb[i])))
+        ref = float(jnp.max(jnp.abs(ga[i]))) or 1.0
+        print(f"mxucombine/{nm}: max|Δ| = {err:.3e} (rel {err / ref:.2e})",
+              flush=True)
+
+    for mode in ("fwd", "dvol", "full"):
+        time_mode("flat2d_mxufold", sample_flat2d_mxufold, vol, grid, g, mode)
+        time_mode("flat2d_mxucomb", sample_flat2d_mxucombine, vol, grid, g,
+                  mode)
+
+
+if __name__ == "__main__" and "--mxucombine" in __import__("sys").argv:
+    main4()
     raise SystemExit(0)

@@ -281,10 +281,38 @@ def _take_paired_rows(flat, row_idx):
     return jnp.take(flat, row_idx, axis=0)                     # [..., 8C]
 
 
+@functools.lru_cache(maxsize=None)
+def _combine_sel_np(C):
+    """One-hot lifts for the octant-weighted combine: K [8, 8C] spreads the
+    octant weight across its C lanes; K2 [8C, C] sums octant groups."""
+    K = np.zeros((8, 8 * C), np.float32)
+    K2 = np.zeros((8 * C, C), np.float32)
+    for o in range(8):
+        K[o, o * C:(o + 1) * C] = 1.0
+        K2[o * C + np.arange(C), np.arange(C)] = 1.0
+    return K, K2
+
+
 def _rows_weights_combine(rows, w, C):
-    octo = rows.reshape(rows.shape[:-1] + (2, 2, 2, C))
-    return jnp.einsum("...zyxc,...zyx->...c", octo.astype(jnp.float32),
-                      w.astype(jnp.float32))
+    """out[i, c] = Σ_oct rows[i, oct·C + c] · w[i, oct].
+
+    Written as ``((rows · (w @ K)) @ K2)`` with one-hot K/K2 so both the
+    forward and the autodiff transpose only materialize WIDE [N, 8C] arrays
+    (d_rows = (g @ K2ᵀ)·(w @ K) — one wide elementwise product feeding the
+    row scatter). The direct einsum's backward expands a 5D
+    [N, 2, 2, 2, C]-minor cotangent — the same narrow-minor tiling XLA
+    relayouts with a serial wide.body loop (see ``paired_volume``). Isolated
+    A/B is neutral (40.3 vs 40.6 ms, tools/probe_paired_build.py
+    --mxucombine) but the in-step bench reads 4,546 -> 4,596 rays/s — the
+    wide-only adjoint composes better with the downstream row scatter.
+    One-hot entries are exact; matmuls run at HIGHEST precision (f32 MACs)."""
+    K_np, K2_np = _combine_sel_np(C)
+    K = jnp.asarray(K_np)
+    K2 = jnp.asarray(K2_np)
+    hi = jax.lax.Precision.HIGHEST
+    wk = jnp.dot(w.reshape(-1, 8).astype(jnp.float32), K, precision=hi)
+    prod = rows.reshape(-1, 8 * C).astype(jnp.float32) * wk
+    return jnp.dot(prod, K2, precision=hi).reshape(w.shape[:-3] + (C,))
 
 
 def grid_sample_3d_paired(vol, grid, paired=None):
