@@ -175,3 +175,76 @@ def test_trilinear_diff_out_of_band_fallback_grads():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gn), np.asarray(gn_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_trilinear_diff_hoisted_paired_matches():
+    """Caller-hoisted paired build (prepare_warped_paired, shared across two
+    sample calls — flags.HOIST_WARPED_PAIRED path): values and grads match
+    the per-call-build form, including d/d vol THROUGH the hoisted build."""
+    from zest_tpu.kernels.trilinear import (prepare_warped_paired,
+                                            sample_volume_zbanded_diff)
+    rng = np.random.default_rng(7)
+    D, Hv, Wv, C = 16, 8, 12, 4
+    vol = jnp.asarray(rng.normal(size=(D, Hv, Wv, C)).astype(np.float32))
+    ndc_a = jnp.asarray(rng.uniform(0, 1, size=(20, 6, 3)).astype(np.float32))
+    ndc_b = jnp.asarray(rng.uniform(0, 1, size=(10, 6, 3)).astype(np.float32))
+    g_a = jnp.asarray(rng.normal(size=(20, 6, C)).astype(np.float32))
+    g_b = jnp.asarray(rng.normal(size=(10, 6, C)).astype(np.float32))
+
+    def loss(v, na, nb, hoist):
+        p = prepare_warped_paired(v, approx=False) if hoist else None
+        out_a = sample_volume_zbanded_diff(v, na, band=3, paired=p)
+        out_b = sample_volume_zbanded_diff(v, nb, band=3, paired=p)
+        return jnp.vdot(out_a, g_a) + jnp.vdot(out_b, g_b)
+
+    va, ga = jax.value_and_grad(loss, argnums=(0, 1, 2))(vol, ndc_a, ndc_b,
+                                                         False)
+    vb, gb = jax.value_and_grad(loss, argnums=(0, 1, 2))(vol, ndc_a, ndc_b,
+                                                         True)
+    np.testing.assert_allclose(float(va), float(vb), rtol=1e-6)
+    for x, y, nm in zip(ga, gb, ("d_vol", "d_ndc_a", "d_ndc_b")):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-5, err_msg=nm)
+
+
+def test_hoist_flag_full_forward_matches():
+    """forward_train under flags.HOIST_WARPED_PAIRED matches the default
+    per-call-build trace (f32 CPU; warped t±1 + chain passes engaged)."""
+    from zest_tpu import flags
+    from zest_tpu.config import ZestConfig
+    from zest_tpu.data.synthetic import SyntheticDataset
+    from zest_tpu.system import ZestSystem, phase_for_step
+
+    def run(hoist):
+        old = flags.HOIST_WARPED_PAIRED
+        flags.HOIST_WARPED_PAIRED = hoist
+        try:
+            cfg = ZestConfig(train_sceneflow=True, use_mvs=True,
+                             use_mvs_dy=True, pad=4, num_keyframes=3,
+                             netdepth=4, netwidth=32, multires=4,
+                             multires_views=2, N_samples=8, batch_size=16,
+                             num_extra_samples=0, use_motion_mask=False,
+                             decay_iteration=1, with_chain_loss=True,
+                             pts_embedder=True, dir_embedder=True,
+                             use_viewdirs=True, num_epochs=2)
+            ds = SyntheticDataset(img_h=32, img_w=64, num_frames=9,
+                                  num_keyframes=3, use_mvs=True,
+                                  use_mvs_dy=True)
+            batch = {k: jnp.asarray(v) for k, v in ds[3].items()}
+            system = ZestSystem(cfg)
+            params = system.init_params(jax.random.PRNGKey(0), batch)
+            # step 2001 > decay·1000·2 → chain_5frames on: BOTH warped sample
+            # calls (t±1 stacked + t±2 chain) consume the shared build
+            ret, _, _ = system.forward_train(params, batch,
+                                             jax.random.PRNGKey(1),
+                                             phase_for_step(cfg, 2001),
+                                             jnp.asarray(2001))
+            return ret
+        finally:
+            flags.HOIST_WARPED_PAIRED = old
+
+    a = run(False)
+    b = run(True)
+    for k in ("rgb_map", "rgb_map_ref", "rgb_map_prev_dy", "rgb_map_pp_dy"):
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=2e-5, atol=2e-5, err_msg=k)

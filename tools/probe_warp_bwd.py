@@ -190,5 +190,198 @@ def main():
         print(f"{nm}: max|Δ| vs base = {err:.3e}", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--smem" not in __import__("sys").argv:
     main()
+    raise SystemExit(0)
+
+
+# ---------------------------------------------------------------------------
+# SMEM-rb variants (--smem): both kernels read the per-chunk band start rb
+# with a scalar VMEM load (`ints_ref[0, k, 4, 0]`) that gates a dynamic
+# slice — the scalar core stalls on VMEM every iteration (~0.8 µs/chunk
+# measured vs a ~0.3 µs compute floor). These variants pass rb[D, NC] as a
+# PrefetchScalarGridSpec scalar operand (SMEM, available before the body),
+# the same structure the trilinear kernels already use (zb_ref).
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel_smem(rb_ref, src_ref, ints_ref, flts_ref, out_ref, *, band,
+                     h, w, approx):
+    Cc = src_ref.shape[0]
+    NC, _, gp = ints_ref.shape[1:]
+    d = pl.program_id(0)
+    dt, prec = ps._mm_dtype_prec(approx)
+
+    def body(k, _):
+        rb = rb_ref[d, k]
+        band_rows = src_ref[:, pl.ds(rb, band), :]
+        X2, vy = ps._make_X2_vy(ints_ref[0, k], flts_ref[0, k], rb, band, w,
+                                gp)
+        mid = jnp.dot(band_rows.reshape(Cc * band, w).astype(dt),
+                      X2.astype(dt), preferred_element_type=jnp.float32,
+                      precision=prec)
+        out_ref[0, k] = jnp.sum(mid.reshape(Cc, band, gp) * vy[None], axis=1)
+        return 0
+
+    jax.lax.fori_loop(0, NC, body, 0)
+
+
+def pallas_warp_fwd_smem(src_cm, ints, flts, band, approx):
+    Cc, h, w = src_cm.shape
+    Dn, NC, _, gp = ints.shape
+    rb = ints[:, :, 4, 0]
+    kern = functools.partial(_fwd_kernel_smem, band=band, h=h, w=w,
+                             approx=approx)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Dn,),
+        in_specs=[
+            pl.BlockSpec((Cc, h, w), lambda d, rb_ref: (0, 0, 0)),
+            pl.BlockSpec((1, NC, 5, gp), lambda d, rb_ref: (d, 0, 0, 0)),
+            pl.BlockSpec((1, NC, 4, gp), lambda d, rb_ref: (d, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, NC, Cc, gp), lambda d, rb_ref: (d, 0, 0, 0)),
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Dn, NC, Cc, gp), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(rb, src_cm, ints, flts)
+
+
+def _bwd_kernel_smem(rb_ref, g_ref, ints_ref, flts_ref, dsrc_ref, *, band,
+                     h, w, approx):
+    Cc = g_ref.shape[2]
+    NC, _, gp = ints_ref.shape[1:]
+    d = pl.program_id(0)
+    dt, prec = ps._mm_dtype_prec(approx)
+
+    @pl.when(d == 0)
+    def _():
+        dsrc_ref[...] = jnp.zeros_like(dsrc_ref)
+
+    def body(k, _):
+        rb = rb_ref[d, k]
+        X2, vy = ps._make_X2_vy(ints_ref[0, k], flts_ref[0, k], rb, band, w,
+                                gp)
+        g = g_ref[0, k]
+        d_mid = (g[:, None, :] * vy[None]).reshape(Cc * band, gp)
+        contrib = jax.lax.dot_general(
+            d_mid.astype(dt), X2.astype(dt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        cur = dsrc_ref[:, pl.ds(rb, band), :]
+        dsrc_ref[:, pl.ds(rb, band), :] = cur + contrib.reshape(Cc, band, w)
+        return 0
+
+    jax.lax.fori_loop(0, NC, body, 0)
+
+
+def pallas_warp_bwd_smem(g, ints, flts, band, h, w, approx):
+    Dn, NC, Cc, gp = g.shape
+    rb = ints[:, :, 4, 0]
+    kern = functools.partial(_bwd_kernel_smem, band=band, h=h, w=w,
+                             approx=approx)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Dn,),
+        in_specs=[
+            pl.BlockSpec((1, NC, Cc, gp), lambda d, rb_ref: (d, 0, 0, 0)),
+            pl.BlockSpec((1, NC, 5, gp), lambda d, rb_ref: (d, 0, 0, 0)),
+            pl.BlockSpec((1, NC, 4, gp), lambda d, rb_ref: (d, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Cc, h, w), lambda d, rb_ref: (0, 0, 0)),
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Cc, h, w), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(rb, g, ints, flts)
+
+
+def _fwd_kernel_smem2d(rb_ref, src_ref, ints_ref, flts_ref, out_ref, *, band,
+                       h, w, approx):
+    """2D grid (D, NC): one chunk per grid step — Mosaic pipelines the
+    per-chunk ints/flts/out block DMAs across steps; rb from SMEM."""
+    Cc = src_ref.shape[0]
+    gp = ints_ref.shape[3]
+    d = pl.program_id(0)
+    k = pl.program_id(1)
+    dt, prec = ps._mm_dtype_prec(approx)
+
+    rb = rb_ref[d, k]
+    band_rows = src_ref[:, pl.ds(rb, band), :]
+    X2, vy = ps._make_X2_vy(ints_ref[0, 0], flts_ref[0, 0], rb, band, w, gp)
+    mid = jnp.dot(band_rows.reshape(Cc * band, w).astype(dt), X2.astype(dt),
+                  preferred_element_type=jnp.float32, precision=prec)
+    out_ref[0, 0] = jnp.sum(mid.reshape(Cc, band, gp) * vy[None], axis=1)
+
+
+def pallas_warp_fwd_smem2d(src_cm, ints, flts, band, approx):
+    Cc, h, w = src_cm.shape
+    Dn, NC, _, gp = ints.shape
+    rb = ints[:, :, 4, 0]
+    kern = functools.partial(_fwd_kernel_smem2d, band=band, h=h, w=w,
+                             approx=approx)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Dn, NC),
+        in_specs=[
+            pl.BlockSpec((Cc, h, w), lambda d, k, rb_ref: (0, 0, 0)),
+            pl.BlockSpec((1, 1, 5, gp), lambda d, k, rb_ref: (d, k, 0, 0)),
+            pl.BlockSpec((1, 1, 4, gp), lambda d, k, rb_ref: (d, k, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Cc, gp),
+                               lambda d, k, rb_ref: (d, k, 0, 0)),
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Dn, NC, Cc, gp), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(rb, src_cm, ints, flts)
+
+
+def time_fwd_fn(name, fn, ints, flts, band):
+    ints = jnp.asarray(ints)
+    flts = jnp.asarray(flts)
+    rng = np.random.default_rng(0)
+    src0 = jnp.asarray(rng.normal(size=(C, H, W)).astype(np.float32))
+
+    @jax.jit
+    def step(src):
+        out = fn(src, ints, flts, band, True)
+        s = jnp.sum(out) * 1e-12
+        return src + s, jnp.sum(out[0, 0, 0, :8])
+
+    src, l = step(src0)
+    float(l)
+    t0 = time.perf_counter()
+    src = src0
+    for _ in range(STEPS):
+        src, l = step(src)
+    float(l)
+    print(f"fwd  {name:10s} {(time.perf_counter() - t0) / STEPS * 1e3:8.2f} ms",
+          flush=True)
+    return np.asarray(jax.jit(fn, static_argnums=(3, 4))(
+        src0, ints, flts, band, True))
+
+
+def main_smem():
+    print(f"devices: {jax.devices()}", flush=True)
+    band = 16
+    ints, flts, nc = make_taps(band)
+
+    f_ref = time_fwd_fn("base", lambda s, i, f, b, a: ps._pallas_warp_fwd(
+        s, i, f, b, a), ints, flts, band)
+    f_sm = time_fwd_fn("smem", pallas_warp_fwd_smem, ints, flts, band)
+    f_2d = time_fwd_fn("smem2d", pallas_warp_fwd_smem2d, ints, flts, band)
+    for nm, o in (("smem", f_sm), ("smem2d", f_2d)):
+        print(f"fwd {nm}: max|Δ| vs base = "
+              f"{float(np.max(np.abs(o - f_ref))):.3e}", flush=True)
+
+    ref = time_bwd("base", ps._pallas_warp_bwd, ints, flts, band)
+    out_sm = time_bwd("smem", pallas_warp_bwd_smem, ints, flts, band)
+    print(f"bwd smem: max|Δ| vs base = "
+          f"{float(np.max(np.abs(out_sm - ref))):.3e}", flush=True)
+
+
+if __name__ == "__main__" and "--smem" in __import__("sys").argv:
+    main_smem()

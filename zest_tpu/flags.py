@@ -30,3 +30,13 @@ def _env_bool(name: str, default: bool) -> bool:
 # kernel is interpret-mode-verified; enable only on a TPU with a full local
 # Mosaic toolchain (BENCH_NOTES.md round-4 section).
 DMA_ROW_GATHER = _env_bool("ZEST_DMA_ROW_GATHER", False)
+
+# Build ONE shared octo-paired super-volume for the two flow-warped sample
+# calls per step (t±1 stacked + t±2 chain) instead of one build inside each
+# call's fallback cond body. Saves one build forward and one fold backward in
+# the production regime (saturated flows → fallback always selected,
+# BENCH_NOTES round 3); costs an eagerly-built ~350 MB operand that is dead
+# weight in the kernel-engaged regime (confined flows). Round-3 measured the
+# hoist LOSING with the old 4D stack+moveaxis build; re-decided by A/B after
+# the flat2d+MXU-fold rebuild (see BENCH_NOTES round 4).
+HOIST_WARPED_PAIRED = _env_bool("ZEST_HOIST_WARPED_PAIRED", False)

@@ -300,13 +300,23 @@ class ZestSystem:
 
         dynamic_vol_fn = dynamic_col_fn = None
         if dyn_vol is not None:
-            # NOTE: hoisting ONE shared octo-paired super-volume build across
-            # the warped sample calls (prepare_warped_paired) measured 3,776
-            # vs 3,858 rays/s — only 2 warped calls/step exist (t±1 stacked +
-            # chain) and the extended ~350 MB liveness costs more than the one
-            # deduped build. Each call builds its own (BENCH_NOTES round 3).
+            # Hoisting ONE shared octo-paired super-volume build across the
+            # warped sample calls (t±1 stacked + t±2 chain) was re-decided by
+            # A/B after the flat2d+MXU-fold rebuild (flags.HOIST_WARPED_PAIRED;
+            # round 3 measured the hoist LOSING with the old 4D build, 3,776
+            # vs 3,858 rays/s — BENCH_NOTES rounds 3/4). When off, each call
+            # builds its own inside the fallback cond body. The hoisted build
+            # is DCE'd in eval traces (no warped calls consume it).
+            from . import flags as _flags
+            warped_paired = None
+            if cfg.use_pallas_trilinear and _flags.HOIST_WARPED_PAIRED:
+                from .kernels.trilinear import prepare_warped_paired
+                warped_paired = prepare_warped_paired(
+                    dyn_vol, approx=cfg.precision == 16 or cfg.bf16)
+
             def dynamic_vol_fn(ndc, banded=False):
-                return sample_vol(dyn_vol, ndc, banded)
+                return sample_vol(dyn_vol, ndc, banded,
+                                  paired=None if banded else warped_paired)
 
             def dynamic_col_fn(pts_world):
                 return render.build_color_features(pts_world, nb_imgs_un,
