@@ -37,6 +37,7 @@ DMA_ROW_GATHER = _env_bool("ZEST_DMA_ROW_GATHER", False)
 # the production regime (saturated flows → fallback always selected,
 # BENCH_NOTES round 3); costs an eagerly-built ~350 MB operand that is dead
 # weight in the kernel-engaged regime (confined flows). Round-3 measured the
-# hoist LOSING with the old 4D stack+moveaxis build; re-decided by A/B after
-# the flat2d+MXU-fold rebuild (see BENCH_NOTES round 4).
-HOIST_WARPED_PAIRED = _env_bool("ZEST_HOIST_WARPED_PAIRED", False)
+# hoist LOSING with the old 4D stack+moveaxis build; round-4 chip A/B after
+# the flat2d+MXU-fold rebuild measured it WINNING reproducibly (4,670/4,683
+# vs 4,596/4,597 rays/s, 2x2 runs — BENCH_NOTES round 4) → default ON.
+HOIST_WARPED_PAIRED = _env_bool("ZEST_HOIST_WARPED_PAIRED", True)
