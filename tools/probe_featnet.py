@@ -37,19 +37,22 @@ STEPS = 30
 
 
 def timed(name, loss_fn, params, x0):
+    # ADVICE r4: 1e-12*g underflowed below one f32 ulp -> params bitwise
+    # identical every step -> tunnel memoization. Perturb the INPUT by a
+    # device-carried step counter instead (guaranteed bit change), and keep a
+    # small real param nudge (1e-4*g) so the grad graph stays live.
     g_fn = jax.jit(jax.grad(loss_fn))
 
-    def chain(p, x):
-        g = g_fn(p, x)
-        return jax.tree.map(lambda a, b: a + 1e-12 * b, p, g), g
+    def chain(p, i):
+        g = g_fn(p, x0 + (i + 1) * 1e-4)
+        return jax.tree.map(lambda a, b: a + 1e-4 * b, p, g), i + 1, g
 
     chain_j = jax.jit(chain)
-    p, g = chain_j(params, x0)
+    p, i, g = chain_j(params, jnp.float32(0.0))
     float(jax.tree.leaves(g)[0].reshape(-1)[0])
     t0 = time.perf_counter()
-    p = params
     for _ in range(STEPS):
-        p, g = chain_j(p, x0)
+        p, i, g = chain_j(p, i)
     float(jax.tree.leaves(g)[0].reshape(-1)[0])
     dt = (time.perf_counter() - t0) / STEPS * 1e3
     print(f"fwd+bwd {name:14s} {dt:8.2f} ms", flush=True)
@@ -63,7 +66,8 @@ def timed_fwd(name, fn, params, x0):
     t0 = time.perf_counter()
     outs = []
     for i in range(STEPS):
-        outs.append(f(params, x0 + i * 1e-6))
+        # i+1: step 0 must not repeat the warm-up input bitwise (ADVICE r4)
+        outs.append(f(params, x0 + (i + 1) * 1e-6))
     float(outs[-1])
     dt = (time.perf_counter() - t0) / STEPS * 1e3
     print(f"fwd     {name:14s} {dt:8.2f} ms", flush=True)
@@ -104,10 +108,12 @@ def fullres_s2d(p, x):
     xb = s2d(x.astype(jnp.bfloat16))                     # [B,144,256,12]
     k0 = lift_kernel(p["params"]["conv0_0"]["conv"]["kernel"]
                      .astype(jnp.bfloat16))
+    # bf16 conv output, upcast after: keeps the VJP cotangent bf16 so the
+    # kernel-grad conv sees matching dtypes (preferred_element_type=f32 made
+    # the cotangent f32 vs the bf16 operands and the grad conv rejects that)
     y = jax.lax.conv_general_dilated(
         xb, k0, (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     # BN in s2d space: per TRUE channel — fold the 4 phases into rows so
     # the stats equal the base layout's per-channel stats exactly
     y32 = y.astype(jnp.float32).reshape(y.shape[:3] + (4, 8))
@@ -122,8 +128,7 @@ def fullres_s2d(p, x):
                      .astype(jnp.bfloat16))
     z = jax.lax.conv_general_dilated(
         y, k1, (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     z32 = z.astype(jnp.float32).reshape(z.shape[:3] + (4, 8))
     mean = jnp.mean(z32.reshape(-1, 8), 0)
     var = jnp.mean(jnp.square(z32.reshape(-1, 8)), 0) - mean * mean
