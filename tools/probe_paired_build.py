@@ -195,7 +195,8 @@ def main():
         time_mode("flat2d", sample_flat2d, vol, grid, g, mode)
 
 
-if __name__ == "__main__" and not ({"--barrier", "--mxufold", "--mxucombine"} & set(__import__("sys").argv)):
+if __name__ == "__main__" and not ({"--barrier", "--mxufold", "--mxucombine",
+                                    "--pin"} & set(__import__("sys").argv)):
     main()
 
 
@@ -509,4 +510,249 @@ def main4():
 
 if __name__ == "__main__" and "--mxucombine" in __import__("sys").argv:
     main4()
+    raise SystemExit(0)
+
+
+# ---------------------------------------------------------------------------
+# round-5: Pallas LAYOUT-PIN variants (VERDICT r4 next #1b/#1c).
+# The round-4 finding: expand+scatter composes at ~30 ms vs ~13 isolated and
+# the fold reads 17.9 ms in-step vs ~6.5 isolated — the HLO shows serial
+# `wide.body` relayout while-loops whenever narrow ([rows, 8/16]) arrays flip
+# between row-/column-major tilings, and optimization_barrier does NOT stop
+# layout assignment. A Pallas custom-call boundary DOES: XLA must materialize
+# custom-call operands/results in the kernel's default (row-major tiled)
+# layout and cannot fuse/relayout across it.
+#   pin_expand — d_rows/d_w computed INSIDE a Pallas kernel (wide [BLK, 8C]
+#                only; tiny one-hot matmuls built from iota compares), so the
+#                scatter consumes a layout-pinned custom-call result and its
+#                update computation is trivial (clean-floor shape).
+#   pin_fold   — Pallas identity copy pins the scatter output's layout before
+#                the fold's lane-slices.
+#   fold64     — alternative fold that never lane-slices: 4 selection matmuls
+#                (dz,dy shifts as row shifts; dx as lane arithmetic) read the
+#                scatter output UNSLICED at 64 lanes (~2 TFLOP bf16, ~10 ms
+#                MXU — trades FLOPs for zero relayout).
+# ---------------------------------------------------------------------------
+
+from jax.experimental import pallas as pl  # noqa: E402
+
+
+def _expand_kernel(g_ref, w_ref, rows_ref, drows_ref, dw_ref, *, C):
+    g = g_ref[...].astype(jnp.float32)            # [BLK, C]
+    w = w_ref[...].astype(jnp.float32)            # [BLK, 8]
+    rows = rows_ref[...].astype(jnp.float32)      # [BLK, 8C]
+    oct_of_lane = jax.lax.broadcasted_iota(jnp.int32, (8, 8 * C), 1) // C
+    oct_row = jax.lax.broadcasted_iota(jnp.int32, (8, 8 * C), 0)
+    K = (oct_row == oct_of_lane).astype(jnp.float32)          # [8, 8C]
+    c_of_lane = jax.lax.broadcasted_iota(jnp.int32, (C, 8 * C), 1) % C
+    c_row = jax.lax.broadcasted_iota(jnp.int32, (C, 8 * C), 0)
+    K2T = (c_row == c_of_lane).astype(jnp.float32)            # [C, 8C]
+    wk = jnp.dot(w, K, preferred_element_type=jnp.float32)    # [BLK, 8C]
+    gk = jnp.dot(g, K2T, preferred_element_type=jnp.float32)  # [BLK, 8C]
+    drows_ref[...] = (gk * wk).astype(drows_ref.dtype)
+    dw_ref[...] = jnp.dot(rows * gk, K.T,
+                          preferred_element_type=jnp.float32)  # [BLK, 8]
+
+
+def _expand_pallas(g, w8, rows, C, out_dt=jnp.bfloat16):
+    """d_rows = (g @ K2^T) * (w @ K), d_w = (rows*(g @ K2^T)) @ K^T — in one
+    Pallas kernel so both wide results are custom-call-pinned."""
+    N = g.shape[0]
+    BLK = 1024
+    NB = -(-N // BLK)
+    Np = NB * BLK
+    if Np != N:
+        g = jnp.pad(g, ((0, Np - N), (0, 0)))
+        w8 = jnp.pad(w8, ((0, Np - N), (0, 0)))
+        rows = jnp.pad(rows, ((0, Np - N), (0, 0)))
+    import functools as _ft
+    drows, dw = pl.pallas_call(
+        _ft.partial(_expand_kernel, C=C),
+        grid=(NB,),
+        in_specs=[pl.BlockSpec((BLK, C), lambda i: (i, 0)),
+                  pl.BlockSpec((BLK, 8), lambda i: (i, 0)),
+                  pl.BlockSpec((BLK, 8 * C), lambda i: (i, 0))],
+        out_specs=[pl.BlockSpec((BLK, 8 * C), lambda i: (i, 0)),
+                   pl.BlockSpec((BLK, 8), lambda i: (i, 0))],
+        out_shape=[jax.ShapeDtypeStruct((Np, 8 * C), out_dt),
+                   jax.ShapeDtypeStruct((Np, 8), jnp.float32)],
+        interpret=jax.default_backend() != "tpu",
+    )(g, w8, rows)
+    return drows[:N], dw[:N]
+
+
+def _copy_kernel(x_ref, o_ref):
+    o_ref[...] = x_ref[...]
+
+
+def _pin_pallas(x):
+    """Pallas identity copy: pins x's layout at a custom-call boundary."""
+    N, L = x.shape
+    BLK = 8192
+    NB = -(-N // BLK)
+    return pl.pallas_call(
+        _copy_kernel, grid=(NB,),
+        in_specs=[pl.BlockSpec((BLK, L), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((BLK, L), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, L), x.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(x)
+
+
+def _fold64_matrix(dz, dy, dt):
+    """M[(dz,dy)] [(W+2)*64, (W+2)*8]: out[line, x_out*8+c] sums
+    in[line', x_in*64 + dz*32 + dy*16 + dx*8 + c] over dx with
+    x_in = x_out - dx; the (dz, dy) row shift is applied to the input rows
+    (line' = line - dz*(H+2) - dy) outside the matmul.
+
+    Built ON DEVICE from iota compares — a numpy constant of this size
+    (65 MB x4) serializes into the tunnel's remote compile request and
+    trips its HTTP-413 body limit (CLAUDE.md)."""
+    W2 = W + 2
+    shp = (W2 * 64, W2 * 8)
+    i = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+    o = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+    x_in, rem = i // 64, i % 64
+    dz_in, rem = rem // 32, rem % 32
+    dy_in, rem = rem // 16, rem % 16
+    dx_in, c_in = rem // 8, rem % 8
+    x_out, c_out = o // 8, o % 8
+    m = ((dz_in == dz) & (dy_in == dy) & (c_in == c_out)
+         & (x_in == x_out - dx_in))
+    return m.astype(dt)
+
+
+def _fold64(d_flat, n_rows_full):
+    """Fold the paired cotangent [n_rows, 64] -> d_vol WITHOUT lane slices:
+    pad rows to the full (D+2)(H+2)(W+2) space, view as y-lines at 64 lanes,
+    4 selection matmuls with (dz, dy)-dependent row shifts."""
+    W2 = W + 2
+    H2 = H + 2
+    dZ = jnp.pad(d_flat, ((0, n_rows_full - d_flat.shape[0]), (0, 0)))
+    dZm = dZ.reshape(-1, W2 * 64)                       # [(D+2)(H+2), .]
+    acc = None
+    mdt = dZm.dtype if dZm.dtype == jnp.bfloat16 else jnp.float32
+    prec = (jax.lax.Precision.DEFAULT if mdt == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            m = _fold64_matrix(dz, dy, mdt)
+            shift = dz * H2 + dy
+            src = dZm if shift == 0 else jnp.pad(dZm[:-shift],
+                                                 ((shift, 0), (0, 0)))
+            t = jnp.dot(src, m, preferred_element_type=jnp.float32,
+                        precision=prec)
+            acc = t if acc is None else acc + t
+    DV = acc.reshape(D + 2, H + 2, W2 * 8)
+    return DV[1:-1, 1:-1, 8:8 + W * 8].reshape(D, H, W, 8)
+
+
+def _make_sample_pinned(pin_expand, pin_fold, fold_mode):
+    """take+combine with a custom VJP whose adjoint uses the pin variants.
+
+    fold_mode: 'mxu' (shipped 2-matmul fold on the 32-lane view) or 'fold64'.
+    """
+    n_rows_full = (D + 2) * (H + 2) * (W + 2)
+    n_rows = n_rows_full - 1 - (W + 2) - (H + 2) * (W + 2)
+
+    # fold applied via a custom-vjp'd build so we control both sides
+    def sample_full(vol, grid):
+        @jax.custom_vjp
+        def build(v):
+            return build_flat2d(v)
+
+        def bfwd(v):
+            return build_flat2d(v), None
+
+        def bbwd(_, dZ):
+            if pin_fold:
+                dZ = _pin_pallas(dZ)
+            if fold_mode == "fold64":
+                return (_fold64(dZ, n_rows_full).astype(vol.dtype),)
+            # shipped MXU fold
+            d = build_flat2d_mxufold  # noqa — reuse its bwd via vjp
+            _, vjp = jax.vjp(build_flat2d_mxufold, jnp.zeros_like(vol))
+            return vjp(dZ)
+
+        build.defvjp(bfwd, bbwd)
+
+        flat = build(vol)
+        row_idx, w = taps_flat2d(grid)
+
+        @jax.custom_vjp
+        def tc(flat, w):
+            rows = jnp.take(flat, row_idx.reshape(-1), axis=0)
+            return _combine_mxu(rows, w)
+
+        def fwd(flat, w):
+            rows = jnp.take(flat, row_idx.reshape(-1), axis=0)
+            return _combine_mxu(rows, w), (rows, w)
+
+        def bwd(res, g):
+            rows, w = res
+            dt = rows.dtype
+            g2 = g.reshape(-1, C)
+            w2 = w.reshape(-1, 8)
+            if pin_expand:
+                d_rows, d_w = _expand_pallas(g2, w2, rows, C, out_dt=dt)
+            else:
+                global _K_NP
+                if _K_NP is None:
+                    _K_NP = _combine_sel_np()
+                K = jnp.asarray(_K_NP[0], jnp.float32)
+                K2 = jnp.asarray(_K_NP[1], jnp.float32)
+                wk = jnp.dot(w2, K)
+                gk = jnp.dot(g2, K2.T)
+                d_rows = (gk * wk).astype(dt)
+                d_w = jnp.dot(rows.astype(jnp.float32) * gk, K.T)
+            d_flat = jnp.zeros((n_rows, 8 * C), dt
+                               ).at[row_idx.reshape(-1)].add(d_rows)
+            return d_flat, d_w.reshape(w.shape[:-3] + (2, 2, 2))
+
+        tc.defvjp(fwd, bwd)
+        return tc(flat, w)
+
+    return sample_full
+
+
+def main5():
+    rng = np.random.default_rng(0)
+    print(f"devices: {jax.devices()}", flush=True)
+    vol = jnp.asarray(rng.normal(size=(D, H, W, C)).astype(np.float32)
+                      ).astype(jnp.bfloat16)
+    grid = jnp.asarray(rng.uniform(-1.02, 1.02, size=(N, 3)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
+
+    variants = {
+        "base(mxucomb)": sample_flat2d_mxucombine,
+        "pin_expand": _make_sample_pinned(True, False, "mxu"),
+        "pin_fold": _make_sample_pinned(False, True, "mxu"),
+        "pin_both": _make_sample_pinned(True, True, "mxu"),
+        "fold64": _make_sample_pinned(False, False, "fold64"),
+        "pinexp+fold64": _make_sample_pinned(True, False, "fold64"),
+    }
+
+    # correctness vs the shipped autodiff path (f32 to see real error)
+    vol32 = jnp.asarray(rng.normal(size=(D, H, W, C)).astype(np.float32))
+    sl = grid[:8192]
+    ga = jax.jit(jax.grad(
+        lambda v, n: jnp.vdot(sample_flat2d(v, n), g[:8192]),
+        argnums=(0, 1)))(vol32, sl)
+    for name, fn in variants.items():
+        gb = jax.jit(jax.grad(
+            lambda v, n: jnp.vdot(fn(v, n), g[:8192]),
+            argnums=(0, 1)))(vol32, sl)
+        for i, nm in ((0, "d_vol"), (1, "d_grid")):
+            err = float(jnp.max(jnp.abs(ga[i] - gb[i])))
+            ref = float(jnp.max(jnp.abs(ga[i]))) or 1.0
+            print(f"{name}/{nm}: max|Δ| = {err:.3e} (rel {err / ref:.2e})",
+                  flush=True)
+
+    for mode in ("dvol", "full"):
+        for name, fn in variants.items():
+            time_mode(name, fn, vol, grid, g, mode)
+
+
+if __name__ == "__main__" and "--pin" in __import__("sys").argv:
+    main5()
     raise SystemExit(0)
