@@ -1,0 +1,75 @@
+"""Round-5 regression tests.
+
+Covers the wide-residual combine VJP (flags.WIDE_COMBINE_VJP): it must be
+BIT-exact vs the autodiff path — forward, d_vol and d_grid — since it is a
+pure residual-layout change (same HIGHEST one-hot matmuls, same bf16 scatter
+cast; see ops/grid_sample.py:_take_combine_wide).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zest_tpu import flags
+from zest_tpu.ops import grid_sample as gs
+
+
+@pytest.fixture
+def _restore_flag():
+    orig = flags.WIDE_COMBINE_VJP
+    yield
+    flags.WIDE_COMBINE_VJP = orig
+    jax.clear_caches()
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_wide_combine_vjp_bit_exact(dtype, _restore_flag):
+    rng = np.random.default_rng(7)
+    vol = jnp.asarray(rng.normal(size=(6, 5, 7, 8)).astype(np.float32)
+                      ).astype(dtype)
+    grid = jnp.asarray(
+        rng.uniform(-1.05, 1.05, size=(11, 13, 3)).astype(np.float32))
+    g_out = jnp.asarray(rng.normal(size=(11, 13, 8)).astype(np.float32))
+
+    def run():
+        # under jit: the grid (hence row_idx) must be a TRACER — regression
+        # cover for the custom_vjp closed-over-tracer bug (round 5)
+        def loss(v, n):
+            return jnp.vdot(gs.grid_sample_3d_paired(v, n).astype(jnp.float32),
+                            g_out)
+        out = jax.jit(gs.grid_sample_3d_paired)(vol, grid)
+        gv, gn = jax.jit(jax.grad(loss, argnums=(0, 1)))(vol, grid)
+        return out, gv, gn
+
+    flags.WIDE_COMBINE_VJP = False
+    jax.clear_caches()
+    base = run()
+    flags.WIDE_COMBINE_VJP = True
+    jax.clear_caches()
+    wide = run()
+    for name, a, b in zip(("out", "d_vol", "d_grid"), base, wide):
+        assert jnp.max(jnp.abs(a.astype(jnp.float32)
+                               - b.astype(jnp.float32))) == 0.0, name
+
+
+def test_wide_combine_vjp_shared_paired_build(_restore_flag):
+    """Two sample calls sharing one hoisted paired build must accumulate
+    d_vol across calls identically under the wide VJP."""
+    rng = np.random.default_rng(3)
+    vol = jnp.asarray(rng.normal(size=(5, 6, 7, 8)).astype(np.float32))
+    g1 = jnp.asarray(rng.uniform(-1.0, 1.0, size=(9, 3)).astype(np.float32))
+    g2 = jnp.asarray(rng.uniform(-1.0, 1.0, size=(9, 3)).astype(np.float32))
+
+    def loss(v):
+        flat = gs.paired_volume(v)
+        a = gs.grid_sample_3d_paired(v, g1, paired=flat)
+        b = gs.grid_sample_3d_paired(v, g2, paired=flat)
+        return jnp.sum(a * b)
+
+    flags.WIDE_COMBINE_VJP = False
+    jax.clear_caches()
+    base = jax.jit(jax.grad(loss))(vol)
+    flags.WIDE_COMBINE_VJP = True
+    jax.clear_caches()
+    wide = jax.jit(jax.grad(loss))(vol)
+    assert jnp.max(jnp.abs(base - wide)) == 0.0

@@ -23,7 +23,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _patch(mode):
-    """Component ablations for share attribution (not semantics-preserving)."""
+    """Component ablations for share attribution (not semantics-preserving).
+
+    Returns an undo callable (or None). Shares at the default chunk:
+    full − nocolor = color-feature gathers; full − nomlp = field passes;
+    full − nosample = volume trilinear sampling (both banded kernels)."""
     from zest_tpu import render
     if mode == "nocolor":
         orig = render.build_color_features
@@ -37,7 +41,48 @@ def _patch(mode):
                              jnp.bfloat16 if approx else jnp.float32)
 
         render.build_color_features = zeros
-        return orig
+
+        def undo():
+            render.build_color_features = orig
+        return undo
+    if mode == "nomlp":
+        from zest_tpu.kernels import fused_mlp as _fm
+        orig = _fm.fused_nerf_apply
+
+        def cheap(field, field_params, p, f, v, approx=None):
+            out = jax.eval_shape(
+                lambda p_, f_, v_: orig(field, field_params, p_, f_, v_,
+                                        approx=approx), p, f, v)
+            eps = (jnp.sum(p[::509, 0]) + jnp.sum(f[::509, 0])) * 1e-30
+            return jnp.zeros(out.shape, out.dtype) + eps.astype(out.dtype)
+
+        _fm.fused_nerf_apply = cheap
+
+        def undo():
+            _fm.fused_nerf_apply = orig
+        return undo
+    if mode == "nosample":
+        from zest_tpu.kernels import trilinear as _tri
+        orig_b = _tri.sample_volume_zbanded
+        orig_d = _tri.sample_volume_zbanded_diff
+
+        def cheap_b(vol, ndc, band=6, approx=None):
+            eps = jnp.mean(vol.astype(jnp.float32)[0, 0, 0]) * 1e-30
+            return (jnp.zeros(ndc.shape[:-1] + (vol.shape[-1],), vol.dtype)
+                    + eps.astype(vol.dtype))
+
+        def cheap_d(vol, ndc, band=6, approx=None, paired=None):
+            eps = jnp.mean(vol.astype(jnp.float32)[0, 0, 0]) * 1e-30
+            return (jnp.zeros(ndc.shape[:-1] + (vol.shape[-1],), vol.dtype)
+                    + eps.astype(vol.dtype))
+
+        _tri.sample_volume_zbanded = cheap_b
+        _tri.sample_volume_zbanded_diff = cheap_d
+
+        def undo():
+            _tri.sample_volume_zbanded = orig_b
+            _tri.sample_volume_zbanded_diff = orig_d
+        return undo
     return None
 
 
@@ -87,8 +132,7 @@ def main(chunks, mode="full"):
               f"({288 * 512 / dt:.0f} rays/s)", flush=True)
 
     if _orig is not None:
-        from zest_tpu import render
-        render.build_color_features = _orig
+        _orig()
 
 
 def main_path(n_poses=60):
@@ -140,8 +184,9 @@ def main_path(n_poses=60):
 
 if __name__ == "__main__":
     if "--ablate" in sys.argv[1:]:
-        for m in ("full", "nocolor", "static_only"):
+        for m in ("full", "nocolor", "nomlp", "nosample", "static_only"):
             main([16384], mode=m)
+            jax.clear_caches()
     elif "--path" in sys.argv[1:]:
         a = sys.argv[1:]
         i = a.index("--path")

@@ -53,3 +53,15 @@ DMA_ROW_GATHER = _env_bool("ZEST_DMA_ROW_GATHER", False)
 # (band-6-tight — the only regime where the kernel branch engages and the
 # build is dead weight), set ZEST_HOIST_WARPED_PAIRED=0.
 HOIST_WARPED_PAIRED = _env_bool("ZEST_HOIST_WARPED_PAIRED", True)
+
+# Custom VJP for the paired take+combine whose saved residuals are all WIDE
+# ([N, 8C] rows + pre-lifted wk) instead of the narrow [N, 8] octant weights —
+# targets the in-step expand+scatter composition tax (serial wide.body
+# relayouts on narrow fwd/bwd-boundary arrays, BENCH_NOTES round 4/5).
+# Grad-identical to the autodiff path (same HIGHEST one-hot matmuls, same
+# bf16 scatter cast). Round-5 in-step 2x2 A/B: NEUTRAL (4,685.7/4,684.4 vs
+# 4,683.1/4,681.7 rays/s) — the composition tax does NOT come from the narrow
+# [N, 8] weight residual crossing the fwd/bwd boundary; XLA already
+# rematerializes/fuses it. Default OFF (no win to ship); kept as the recorded
+# measurement (BENCH_NOTES round 5).
+WIDE_COMBINE_VJP = _env_bool("ZEST_WIDE_COMBINE_VJP", False)

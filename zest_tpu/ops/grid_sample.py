@@ -315,6 +315,66 @@ def _rows_weights_combine(rows, w, C):
     return jnp.dot(prod, K2, precision=hi).reshape(w.shape[:-3] + (C,))
 
 
+@functools.lru_cache(maxsize=None)
+def _wide_combine_for(C, n_rows):
+    """take + octant combine with a custom VJP whose residuals are all WIDE.
+
+    Same math as ``_take_paired_rows`` + ``_rows_weights_combine`` under
+    autodiff (grad-identical: same HIGHEST-precision one-hot matmuls, same
+    bf16 cast into the row scatter), but the saved residuals are the wide
+    ``rows`` [N, 8C] and the PRE-LIFTED ``wk = w @ K`` [N, 8C] instead of the
+    narrow ``w`` [N, 8] — so the backward touches no narrow (<32-lane) arrays
+    on the d_flat side at all. Round-4 HLO analysis attributed the in-step
+    expand+scatter composition tax (30.2 ms vs ~11 isolated) to serial
+    `wide.body` relayout loops on narrow intermediates crossing the
+    forward/backward boundary; Pallas layout-pinning was measured and
+    rejected (tools/probe_paired_build.py --pin), this targets the residuals
+    themselves. Flag-gated: flags.WIDE_COMBINE_VJP.
+
+    ``idx`` is a real operand (int32 cotangent = float0), NOT a closure:
+    custom_vjp rejects closed-over tracers when the caller is itself traced.
+    Factory is shape-keyed so the jitted step caches one instance per
+    (C, n_rows) pairing.
+    """
+    K_np, K2_np = _combine_sel_np(C)
+    hi = jax.lax.Precision.HIGHEST
+
+    @jax.custom_vjp
+    def tc(flat, idx, w8):
+        rows = jnp.take(flat, idx, axis=0)
+        wk = jnp.dot(w8.astype(jnp.float32), jnp.asarray(K_np), precision=hi)
+        prod = rows.reshape(-1, 8 * C).astype(jnp.float32) * wk
+        return jnp.dot(prod, jnp.asarray(K2_np), precision=hi)
+
+    def fwd(flat, idx, w8):
+        rows = jnp.take(flat, idx, axis=0).reshape(-1, 8 * C)
+        wk = jnp.dot(w8.astype(jnp.float32), jnp.asarray(K_np), precision=hi)
+        out = jnp.dot(rows.astype(jnp.float32) * wk, jnp.asarray(K2_np),
+                      precision=hi)
+        return out, (rows, wk, idx)
+
+    def bwd(res, g):
+        rows, wk, idx = res
+        gk = jnp.dot(g.astype(jnp.float32), jnp.asarray(K2_np).T,
+                     precision=hi)
+        d_rows = (gk * wk).astype(rows.dtype)
+        d_flat = jnp.zeros((n_rows, 8 * C), rows.dtype).at[idx].add(d_rows)
+        d_w8 = jnp.dot(rows.astype(jnp.float32) * gk, jnp.asarray(K_np).T,
+                       precision=hi)
+        d_idx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
+        return d_flat, d_idx, d_w8
+
+    tc.defvjp(fwd, bwd)
+    return tc
+
+
+def _take_combine_wide(flat, row_idx, w, C):
+    """Wide-residual take+combine — see ``_wide_combine_for``."""
+    tc = _wide_combine_for(C, flat.shape[0])
+    out = tc(flat, row_idx.reshape(-1), w.reshape(-1, 8))
+    return out.reshape(w.shape[:-3] + (C,))
+
+
 def grid_sample_3d_paired(vol, grid, paired=None):
     """Trilinear 3D sampling via ONE wide gather per point ("zeros" mode).
 
@@ -342,6 +402,9 @@ def grid_sample_3d_paired(vol, grid, paired=None):
     D, H, W, C = vol.shape
     flat = paired_volume(vol) if paired is None else paired
     row_idx, w = _paired_taps(grid, D, H, W)
+    from .. import flags as _flags
+    if _flags.WIDE_COMBINE_VJP and not _flags.DMA_ROW_GATHER:
+        return _take_combine_wide(flat, row_idx, w, C)
     rows = _take_paired_rows(flat, row_idx)
     return _rows_weights_combine(rows, w, C)
 
