@@ -34,8 +34,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # A run at an unlisted step count reports PSNR but does not gate.
 PSNR_THRESHOLDS = {
     # filled from the first recorded real-chip run (BENCH_NOTES "quality
-    # gate" row) minus ~1 dB margin; None = report-only until recorded
-    2000: None,
+    # gate" row) minus ~1 dB margin: round-5 run, seed 0, 2000 steps,
+    # val_PSNR 29.039 / val_SSIM 0.7895 (2026-08-19, default flags)
+    2000: 28.0,
 }
 
 
