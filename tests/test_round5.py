@@ -73,3 +73,48 @@ def test_wide_combine_vjp_shared_paired_build(_restore_flag):
     jax.clear_caches()
     wide = jax.jit(jax.grad(loss))(vol)
     assert jnp.max(jnp.abs(base - wide)) == 0.0
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_unet_concat_adjoint_bit_exact(dtype, _restore_flag):
+    """flags.UNET_CONCAT_ADJOINT (models/cost_reg.py:_conv3dz2d_concat) is a
+    pure adjoint-layout change: forward bitwise equal; grads equal up to
+    conv-grad reassociation (bitwise 0.0 on the real chip per
+    tools/probe_unet.py; CPU's eigen conv-grad reassociates at ~1e-6 rel)."""
+    from zest_tpu.models.cost_reg import CostRegNet
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(1, 16, 24, 32, 41)).astype(np.float32))
+    net = CostRegNet(dtype=dtype)
+    params = net.init(jax.random.PRNGKey(0), x)
+
+    def run():
+        def loss(p, xx):
+            return jnp.sum(net.apply(p, xx).astype(jnp.float32) ** 2)
+        out = jax.jit(net.apply)(params, x)
+        gp, gx = jax.jit(jax.grad(loss, argnums=(0, 1)))(params, x)
+        return out, gp, gx
+
+    orig = flags.UNET_CONCAT_ADJOINT
+    try:
+        flags.UNET_CONCAT_ADJOINT = False
+        jax.clear_caches()
+        o0, gp0, gx0 = run()
+        flags.UNET_CONCAT_ADJOINT = True
+        jax.clear_caches()
+        o1, gp1, gx1 = run()
+    finally:
+        flags.UNET_CONCAT_ADJOINT = orig
+
+    assert jnp.max(jnp.abs(o0.astype(jnp.float32)
+                           - o1.astype(jnp.float32))) == 0.0
+
+    def rel_close(a, b):
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+        scale = float(jnp.max(jnp.abs(a))) or 1.0
+        return float(jnp.max(jnp.abs(a - b))) <= 1e-5 * scale
+
+    assert rel_close(gx0, gx1)
+    ok = jax.tree.map(rel_close, gp0, gp1)
+    assert all(jax.tree.leaves(ok))

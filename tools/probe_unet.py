@@ -47,16 +47,18 @@ STEPS = 30
 def timed(name, loss_fn, params, x0):
     g_fn = jax.jit(jax.grad(loss_fn))
 
-    def chain(p, i):
-        g = g_fn(p, x0 + (i + 1) * 1e-4)
+    # x0 rides as a jit ARGUMENT — closing over the ~440 MB slab serializes
+    # it into the remote compile request → HTTP 413 (CLAUDE.md).
+    def chain(p, i, x):
+        g = g_fn(p, x + (i + 1) * 1e-4)
         return jax.tree.map(lambda a, b: a + 1e-4 * b, p, g), i + 1, g
 
     chain_j = jax.jit(chain)
-    p, i, g = chain_j(params, jnp.float32(0.0))
+    p, i, g = chain_j(params, jnp.float32(0.0), x0)
     float(jax.tree.leaves(g)[0].reshape(-1)[0])
     t0 = time.perf_counter()
     for _ in range(STEPS):
-        p, i, g = chain_j(p, i)
+        p, i, g = chain_j(p, i, x0)
     float(jax.tree.leaves(g)[0].reshape(-1)[0])
     dt = (time.perf_counter() - t0) / STEPS * 1e3
     print(f"fwd+bwd {name:18s} {dt:8.2f} ms", flush=True)

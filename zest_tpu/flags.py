@@ -54,6 +54,13 @@ DMA_ROW_GATHER = _env_bool("ZEST_DMA_ROW_GATHER", False)
 # build is dead weight), set ZEST_HOIST_WARPED_PAIRED=0.
 HOIST_WARPED_PAIRED = _env_bool("ZEST_HOIST_WARPED_PAIRED", True)
 
+# Concat-built adjoint for the U-Net's Conv3dZ2D z-tap shift-add
+# (models/cost_reg.py:_conv3dz2d_concat). Bitwise-identical grads; builds the
+# widened-conv cotangent as one lane-concat of z-shifted blocks instead of
+# XLA's pad/slice transposes on 3·oc-minor layouts. Isolated U-Net fwd+bwd
+# 17.6 → 13.3 ms on the real chip (tools/probe_unet.py, round 5).
+UNET_CONCAT_ADJOINT = _env_bool("ZEST_UNET_CONCAT_ADJOINT", True)
+
 # Custom VJP for the paired take+combine whose saved residuals are all WIDE
 # ([N, 8C] rows + pre-lifted wk) instead of the narrow [N, 8] octant weights —
 # targets the in-step expand+scatter composition tax (serial wide.body

@@ -11,12 +11,84 @@ divisible by 8 (three halvings), guaranteed by the /32-divisible image sizes + p
 """
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from .feature_net import BatchNormAct
 from .init import torch_conv_kernel_init
+from .. import flags
+
+
+def _widened_conv(xb, k2, s):
+    return jax.lax.conv_general_dilated(
+        xb, k2, (s, s), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _taps(o, s, d_out, oc):
+    # out[i] = Σ_dz conv(x[s·i+dz-1], k[dz]) = Σ_dz op[s·i+dz, ..., blk dz]
+    op = jnp.pad(o, ((1, 1), (0, 0), (0, 0), (0, 0)))
+
+    def tap(dz):
+        return jax.lax.slice(op, (dz, 0, 0, dz * oc),
+                             (dz + (d_out - 1) * s + 1,) + op.shape[1:3]
+                             + ((dz + 1) * oc,), (s, 1, 1, 1))
+
+    return tap(0) + tap(1) + tap(2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _conv3dz2d_concat(xb, k2, s, d_out, oc):
+    """Conv3dZ2D body with a concat-built adjoint (bit-exact).
+
+    XLA transposes the z-tap shift-add into pad/slice adjoints on 3·oc-minor
+    layouts — the same narrow-minor relayout tax measured on the paired-build
+    fold (BENCH_NOTES round 4). Building the widened-conv cotangent d_o
+    DIRECTLY as one lane-concat of z-shifted d_out blocks skips those
+    intermediates: isolated U-Net fwd+bwd 17.6 → 13.3 ms on the real chip,
+    grads bitwise equal (tools/probe_unet.py, round 5)."""
+    return _taps(_widened_conv(xb, k2, s), s, d_out, oc)
+
+
+def _c3_fwd(xb, k2, s, d_out, oc):
+    return _conv3dz2d_concat(xb, k2, s, d_out, oc), (xb, k2)
+
+
+def _c3_bwd(s, d_out, oc, res, g):
+    xb, k2 = res
+    Dz = xb.shape[0]
+    # out[i] = Σ_dz o[s·i + dz - 1, dz-block] → d_o[r, dz-block] =
+    # g[(r + 1 - dz)/s] (exact division only). Interleave g into the o row
+    # space (s-1 zero rows per row), z-shift by dz-1, then ONE wide
+    # lane-concat; d_xb/d_k2 via XLA's conv-grad machinery on the widened conv.
+    if s == 1:
+        gz = g
+    else:
+        gz = jnp.concatenate(
+            [g[:, None], jnp.zeros((g.shape[0], s - 1) + g.shape[1:],
+                                   g.dtype)], 1).reshape(
+            (g.shape[0] * s,) + g.shape[1:])
+    pad1 = jnp.zeros_like(gz[:1])
+
+    def block(dz):
+        shift = dz - 1                      # block[r] = gz[r - shift]
+        if shift == 0:
+            t = gz
+        elif shift > 0:
+            t = jnp.concatenate([pad1, gz[:-1]], 0)
+        else:
+            t = jnp.concatenate([gz[1:], pad1], 0)
+        return t[:Dz]
+
+    d_o = jnp.concatenate([block(0), block(1), block(2)], -1)
+    _, vjp = jax.vjp(lambda a, b: _widened_conv(a, b, s), xb, k2)
+    return vjp(d_o)
+
+
+_conv3dz2d_concat.defvjp(_c3_fwd, _c3_bwd)
 
 
 class Conv3dZ2D(nn.Module):
@@ -57,17 +129,10 @@ class Conv3dZ2D(nn.Module):
         # ran its pads/slices on a minor-3 tile layout (42x lane-pad waste;
         # ~68 ms of pad/slice in the round-3 step profile)
         k2 = kernel.transpose(1, 2, 3, 0, 4).reshape(3, 3, C, self.out_ch * 3)
-        o = jax.lax.conv_general_dilated(
-            xb, k2, (s, s), [(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        op = jnp.pad(o, ((1, 1), (0, 0), (0, 0), (0, 0)))
-        oc = self.out_ch
-        # out[i] = Σ_dz conv(x[s·i+dz-1], k[dz]) = Σ_dz op[s·i+dz, ..., blk dz]
-        def tap(dz):
-            return jax.lax.slice(op, (dz, 0, 0, dz * oc),
-                                 (dz + (d_out - 1) * s + 1,) + op.shape[1:3]
-                                 + ((dz + 1) * oc,), (s, 1, 1, 1))
-        out = tap(0) + tap(1) + tap(2)
+        if flags.UNET_CONCAT_ADJOINT:
+            out = _conv3dz2d_concat(xb, k2, s, d_out, self.out_ch)
+        else:
+            out = _taps(_widened_conv(xb, k2, s), s, d_out, self.out_ch)
         return out.reshape((N, d_out) + out.shape[1:])
 
 
