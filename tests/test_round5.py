@@ -118,3 +118,43 @@ def test_unet_concat_adjoint_bit_exact(dtype, _restore_flag):
     assert rel_close(gx0, gx1)
     ok = jax.tree.map(rel_close, gp0, gp1)
     assert all(jax.tree.leaves(ok))
+
+
+def test_eval_path_blocked_matches_unblocked():
+    """Blocked pose dispatch (render_paths.eval_path_blocked) must reproduce
+    the single-dispatch path eval exactly, including a padded short final
+    block. The blocking exists because a single 60-pose dispatch is a ~150 s
+    device execution that crashes the tunnel's TPU worker (BENCH_NOTES
+    round 5); semantics must not change."""
+    from zest_tpu.config import ZestConfig
+    from zest_tpu.data.synthetic import SyntheticDataset
+    from zest_tpu.render_paths import eval_path_blocked
+    from zest_tpu.system import ZestSystem
+
+    cfg = ZestConfig(train_sceneflow=True, use_mvs=False, use_mvs_dy=False,
+                     pad=0, netdepth=8, netwidth=32, multires=4,
+                     multires_views=2, N_samples=16, batch_size=32,
+                     num_extra_samples=8, use_motion_mask=True,
+                     decay_iteration=1, with_chain_loss=True,
+                     pts_embedder=True, dir_embedder=True, use_viewdirs=True,
+                     num_epochs=10, raw_noise_std=0.0)
+    ds = SyntheticDataset(img_h=24, img_w=32, num_frames=8, num_keyframes=3,
+                          use_mvs=False, use_mvs_dy=False)
+    sample = ds[3]
+    batch = {k: jnp.asarray(v) for k, v in sample.items()}
+    sys_ = ZestSystem(cfg)
+    params = sys_.init_params(jax.random.PRNGKey(0), batch)
+    path_fn = sys_.make_eval_path_step()
+
+    # 5 poses: the target camera plus 4 other frames' target cameras
+    others = [ds[i] for i in (1, 2, 4, 5)]
+    c2ws = jnp.stack([batch["c2ws"][-1]]
+                     + [jnp.asarray(o["c2ws"])[-1] for o in others])
+    w2cs = jnp.stack([batch["w2cs"][-1]]
+                     + [jnp.asarray(o["w2cs"])[-1] for o in others])
+
+    ref = path_fn(params, batch, c2ws, w2cs)
+    # block=2 over 5 poses → blocks [2, 2, 1]; last block pads + slices
+    got = eval_path_blocked(path_fn, params, batch, c2ws, w2cs, block=2)
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(ref[k]), got[k], err_msg=k)

@@ -137,8 +137,11 @@ def main(chunks, mode="full"):
 
 def main_path(n_poses=60):
     """Bullet-time throughput: pose-batched wanderpath render of one frame
-    (make_eval_path_step: volumes built once, one lax.map over all orbit
-    poses, ONE host fetch — VERDICT r3 next #4). Reports s/pose-image."""
+    (make_eval_path_step, dispatched in PATH_BLOCK-pose blocks: volumes built
+    once per block, one host fetch per block — VERDICT r3 next #4 / r4 #5).
+    A single 60-pose dispatch is a ~150 s device execution and crashes the
+    tunnel's TPU worker (round 5, 2/2 runs); 15-pose blocks run reliably.
+    Reports s/frame and s/pose-image."""
     from zest_tpu.config import ZestConfig
     from zest_tpu.data.synthetic import SyntheticDataset
     from zest_tpu.system import ZestSystem
@@ -160,14 +163,14 @@ def main_path(n_poses=60):
     system = ZestSystem(cfg)
     params = system.init_params(jax.random.PRNGKey(0), batch)
     eval_fn = system.make_eval_path_step()
+    from zest_tpu.render_paths import eval_path_blocked
     key = "rgb_map_ref" if cfg.train_sceneflow else "rgb_map"
     c2ws = jnp.asarray(np.asarray(sample["wander_path_c2w"])[:n_poses])
     w2cs = jnp.asarray(np.asarray(sample["wander_path_w2c"])[:n_poses])
 
     t0 = time.perf_counter()
-    maps = eval_fn(params, batch, c2ws, w2cs)
-    float(maps[key][0, 0, 0, 0])
-    print(f"path: first call (compile+run) {time.perf_counter() - t0:.1f} s",
+    maps = eval_path_blocked(eval_fn, params, batch, c2ws, w2cs)
+    print(f"path: first frame (compile+run) {time.perf_counter() - t0:.1f} s",
           flush=True)
     n = 2
     t0 = time.perf_counter()
@@ -175,11 +178,12 @@ def main_path(n_poses=60):
     for i in range(n):
         b2 = dict(batch)
         b2["images"] = batch["images"] + prev * 1e-6   # defeat memoization
-        maps = eval_fn(params, b2, c2ws, w2cs)
-        prev = float(maps[key][0, 0, 0, 0]) % 1.0      # ONE fetch per frame
+        maps = eval_path_blocked(eval_fn, params, b2, c2ws, w2cs)
+        prev = float(maps[key][0, 0, 0, 0]) % 1.0  # blocks already fetched
     dt = (time.perf_counter() - t0) / n
-    print(f"wanderpath: {n_poses} poses in {dt:.2f} s = {dt / n_poses:.3f} "
-          f"s/pose-image ({288 * 512 * n_poses / dt:.0f} rays/s)", flush=True)
+    print(f"wanderpath: {n_poses} poses in {dt:.2f} s/frame = "
+          f"{dt / n_poses:.3f} s/pose-image "
+          f"({288 * 512 * n_poses / dt:.0f} rays/s)", flush=True)
 
 
 if __name__ == "__main__":

@@ -19,6 +19,38 @@ from .system import TrainState, ZestSystem
 from .train_loop import apply_warp_band_preflight, build_datasets, to_device
 from .utils.visualize import save_image, visualize_depth
 
+# Max orbit poses per device dispatch. A single 60-pose path dispatch is one
+# ~150 s device execution and reproducibly crashes the axon tunnel's TPU
+# worker ("TPU worker process crashed or restarted", 2/2 runs, round 5);
+# ~40 s executions (15 poses at 288x512) run reliably. Blocking costs one
+# volume rebuild (~50 ms) + one fetch round-trip (~0.5 s) per block — ~1.5%
+# of a 38 s block. Raise on backends that tolerate long single executions.
+PATH_BLOCK = 15
+
+
+def eval_path_blocked(eval_fn, params, batch, c2ws, w2cs, block=PATH_BLOCK):
+    """Dispatch a pose-batched path eval in blocks of <= ``block`` poses.
+
+    ``eval_fn`` is ``ZestSystem.make_eval_path_step()``. Short final blocks
+    are padded by repeating the last pose (keeps one compiled shape across
+    blocks) and the padding sliced off host-side. Returns numpy maps
+    concatenated over the full pose axis."""
+    n = len(c2ws)
+    outs = []
+    for s in range(0, n, block):
+        cb, wb = c2ws[s:s + block], w2cs[s:s + block]
+        k = len(cb)
+        if k < block and n > block:
+            pad = block - k
+            cb = jnp.concatenate([cb, jnp.repeat(cb[-1:], pad, axis=0)])
+            wb = jnp.concatenate([wb, jnp.repeat(wb[-1:], pad, axis=0)])
+        maps = eval_fn(params, batch, cb, wb)
+        outs.append({kk: np.asarray(v[:k]) for kk, v in maps.items()})
+    if len(outs) == 1:
+        return outs[0]
+    return {kk: np.concatenate([o[kk] for o in outs], axis=0)
+            for kk in outs[0]}
+
 
 def run_llff_spiral(cfg: ZestConfig, n_poses: int = 60, spheric: bool = False,
                     quiet=False):
@@ -68,12 +100,12 @@ def run_llff_spiral(cfg: ZestConfig, n_poses: int = 60, spheric: bool = False,
     c2ws = np.tile(np.eye(4, dtype=np.float32), (len(path), 1, 1))
     c2ws[:, :3] = np.asarray(path, dtype=np.float32)
     w2cs = np.linalg.inv(c2ws).astype(np.float32)
-    maps = eval_fn(params, to_device(sample), jnp.asarray(c2ws),
-                   jnp.asarray(w2cs))
+    maps = eval_path_blocked(eval_fn, params, to_device(sample),
+                             jnp.asarray(c2ws), jnp.asarray(w2cs))
     key = "rgb_map_ref" if cfg.train_sceneflow else "rgb_map"
     dkey = "depth_map_ref" if cfg.train_sceneflow else "depth_map"
-    rgbs = np.clip(np.asarray(maps[key]), 0, 1)
-    depths = np.asarray(maps[dkey])
+    rgbs = np.clip(maps[key], 0, 1)
+    depths = maps[dkey]
     for i in range(len(path)):
         save_image(out_dir / f"rgb_{i:03d}.png", rgbs[i])
         save_image(out_dir / f"depth_{i:03d}.png", visualize_depth(depths[i]))
@@ -115,12 +147,13 @@ def run_wanderpath(cfg: ZestConfig, frame_range=(20, 51), n_poses=None,
         poses_c2w = np.asarray(sample["wander_path_c2w"], dtype=np.float32)
         poses_w2c = np.asarray(sample["wander_path_w2c"], dtype=np.float32)
         n = len(poses_c2w) if n_poses is None else min(n_poses, len(poses_c2w))
-        maps = eval_fn(params, to_device(sample),
-                       jnp.asarray(poses_c2w[:n]), jnp.asarray(poses_w2c[:n]))
+        maps = eval_path_blocked(eval_fn, params, to_device(sample),
+                                 jnp.asarray(poses_c2w[:n]),
+                                 jnp.asarray(poses_w2c[:n]))
         key = "rgb_map_ref" if cfg.train_sceneflow else "rgb_map"
         dkey = "depth_map_ref" if cfg.train_sceneflow else "depth_map"
-        rgbs = np.clip(np.asarray(maps[key]), 0, 1)
-        depths = np.asarray(maps[dkey])
+        rgbs = np.clip(maps[key], 0, 1)
+        depths = maps[dkey]
         for i in range(n):
             save_image(out_dir / f"rgb_map_blend_{i:02d}.png", rgbs[i])
             save_image(out_dir / f"depth_map_blend_{i:02d}.png",
