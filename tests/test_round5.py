@@ -158,3 +158,27 @@ def test_eval_path_blocked_matches_unblocked():
     got = eval_path_blocked(path_fn, params, batch, c2ws, w2cs, block=2)
     for k in ref:
         np.testing.assert_array_equal(np.asarray(ref[k]), got[k], err_msg=k)
+
+
+def test_run_wanderpath_end_to_end(tmp_path):
+    """Bullet-time CLI path (render_spiral --render_path wander) end-to-end
+    on the synthetic dataset: one frame, 4 orbit poses, PNG panels written
+    (reference test_step_wanderpath, train.py:1167-1237)."""
+    from zest_tpu.config import ZestConfig
+    from zest_tpu.render_paths import run_wanderpath
+
+    cfg = ZestConfig(expname="wander", dataset_name="synthetic",
+                     datadir=str(tmp_path), save_dir=str(tmp_path / "out"),
+                     train_sceneflow=True, use_mvs=False, use_mvs_dy=False,
+                     pad=0, netdepth=4, netwidth=32, multires=4,
+                     multires_views=2, N_samples=8, batch_size=16, chunk=512,
+                     eval_chunk=256, img_h=24, img_w=32, num_keyframes=3,
+                     pts_embedder=True, dir_embedder=True, use_viewdirs=True,
+                     num_epochs=1)
+    run_wanderpath(cfg, frame_range=(3, 3), n_poses=4, quiet=True)
+    outs = sorted((tmp_path / "out" / "wander").glob(
+        "render_wanderpath_frame*/rgb_map_blend_*.png"))
+    assert len(outs) == 4
+    douts = sorted((tmp_path / "out" / "wander").glob(
+        "render_wanderpath_frame*/depth_map_blend_*.png"))
+    assert len(douts) == 4
