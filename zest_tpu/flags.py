@@ -61,6 +61,16 @@ HOIST_WARPED_PAIRED = _env_bool("ZEST_HOIST_WARPED_PAIRED", True)
 # 17.6 → 13.3 ms on the real chip (tools/probe_unet.py, round 5).
 UNET_CONCAT_ADJOINT = _env_bool("ZEST_UNET_CONCAT_ADJOINT", True)
 
+# Grid-step grouping for the y-banded color gather at EVAL (s_major layout):
+# that many 128-point groups share one row band and one wide MXU matmul per
+# Pallas grid step. FLOP-neutral at group=4/band=16 (union span 9 ≤ 16 at
+# flagship geometry, tools/probe_color_eval.py) with 4x fewer grid steps and
+# 4x wider matmuls; the runtime ok-check falls back to group-respecting XLA
+# if a band is ever violated. group=1 reproduces the round-1 kernel. Train's
+# r_major layout keeps group=1 (consecutive rays are random pixels — a shared
+# band never holds).
+EVAL_COLOR_GROUP = int(os.environ.get("ZEST_EVAL_COLOR_GROUP", "4"))
+
 # Custom VJP for the paired take+combine whose saved residuals are all WIDE
 # ([N, 8C] rows + pre-lifted wk) instead of the narrow [N, 8] octant weights —
 # targets the in-step expand+scatter composition tax (serial wide.body

@@ -44,15 +44,21 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _precompute(xy, H: int, W: int, band: int):
+def _precompute(xy, H: int, W: int, band: int, group: int = 1):
     """Border-mode tap data from pixel coords [N, 2] (x, y in pixels).
 
-    Returns ints [NC, 5, 128] (c0, c1, r0, r1, rb), flts [NC, 4, 128]
-    (wx0, wx1, wy0, wy1), and the band-validity predicate.
+    ``group`` packs that many 128-point groups into ONE grid step sharing a
+    single row band (eval's s_major layout: consecutive groups are adjacent
+    pixels of the same image rows, so the union span grows by only ~2 rows
+    per doubling — measured G=4:9, G=8:11, G=16:13 at flagship geometry).
+
+    Returns ints [NB, 5, group*128] (c0, c1, r0, r1, rb), flts
+    [NB, 4, group*128] (wx0..wy1), and the band-validity predicate.
     """
     N = xy.shape[0]
-    NC = -(-N // LANES)
-    pad = NC * LANES - N
+    L = LANES * group
+    NC = -(-N // L)
+    pad = NC * L - N
     # edge-replicate padding: zero-padded points would sit at pixel (0,0) and
     # drag the last chunk's row band to 0, failing the ok-check spuriously
     xy = jnp.pad(xy, ((0, pad), (0, 0)), mode="edge")
@@ -69,7 +75,7 @@ def _precompute(xy, H: int, W: int, band: int):
     r0, r1, wy0, wy1 = taps(xy[:, 1], H)
 
     def chunk(a):
-        return a.reshape(NC, LANES)
+        return a.reshape(NC, L)
 
     r0c, r1c = chunk(r0), chunk(r1)
     # rb aligned DOWN to a sublane multiple: Mosaic requires dynamic-slice row
@@ -85,7 +91,8 @@ def _precompute(xy, H: int, W: int, band: int):
     return ints, flts, ok
 
 
-def _kernel(ints_ref, flts_ref, img_ref, out_ref, *, band, h, w, approx):
+def _kernel(ints_ref, flts_ref, img_ref, out_ref, *, band, h, w, approx,
+            lanes):
     C = img_ref.shape[0]
     rb = pl.multiple_of(ints_ref[0, 4, 0], 8)   # aligned in _precompute
     c0 = ints_ref[0, 0][None]
@@ -97,11 +104,11 @@ def _kernel(ints_ref, flts_ref, img_ref, out_ref, *, band, h, w, approx):
     wy0 = flts_ref[0, 2][None]
     wy1 = flts_ref[0, 3][None]
 
-    c_idx = jax.lax.broadcasted_iota(jnp.int32, (w, LANES), 0)
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, (w, lanes), 0)
     # border mode can clamp both x taps to the same column — ADD the weights
     X2 = (jnp.where(c_idx == c0, wx0, 0.0)
           + jnp.where(c_idx == c1, wx1, 0.0))
-    b_idx = jax.lax.broadcasted_iota(jnp.int32, (band, LANES), 0) + rb
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (band, lanes), 0) + rb
     vy = (jnp.where(b_idx == r0, wy0, 0.0)
           + jnp.where(b_idx == r1, wy1, 0.0))
 
@@ -112,8 +119,8 @@ def _kernel(ints_ref, flts_ref, img_ref, out_ref, *, band, h, w, approx):
     rows = img_ref[:, pl.ds(rb, band), :]               # [C, B, w]
     mid = jnp.dot(rows.reshape(C * band, w).astype(dt), X2.astype(dt),
                   preferred_element_type=jnp.float32,
-                  precision=prec)                       # [C·B, LANES]
-    out_ref[0] = jnp.sum(mid.reshape(C, band, LANES) * vy[None], axis=1)
+                  precision=prec)                       # [C·B, lanes]
+    out_ref[0] = jnp.sum(mid.reshape(C, band, lanes) * vy[None], axis=1)
 
 
 def _edge_case_note():
@@ -125,25 +132,26 @@ def _edge_case_note():
 
 def _gather_pallas(img_cm, ints, flts, band, approx):
     C, h, w = img_cm.shape
-    NC = ints.shape[0]
-    kern = functools.partial(_kernel, band=band, h=h, w=w, approx=approx)
+    NC, _, L = ints.shape
+    kern = functools.partial(_kernel, band=band, h=h, w=w, approx=approx,
+                             lanes=L)
     return pl.pallas_call(
         kern,
         grid=(NC,),
         in_specs=[
-            pl.BlockSpec((1, 5, LANES), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, 4, LANES), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, 5, L), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, 4, L), lambda t: (t, 0, 0)),
             pl.BlockSpec((C, h, w), lambda t: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, C, LANES), lambda t: (t, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((NC, C, LANES), jnp.float32),
+        out_specs=pl.BlockSpec((1, C, L), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((NC, C, L), jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )(ints, flts, img_cm)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _core(img, xy, band, approx):
-    return _core_fwd(img, xy, band, approx)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _core(img, xy, band, approx, group):
+    return _core_fwd(img, xy, band, approx, group)[0]
 
 
 def _xla_ref(img, xy):
@@ -153,20 +161,20 @@ def _xla_ref(img, xy):
         .astype(jnp.float32)
 
 
-def _core_fwd(img, xy, band, approx):
+def _core_fwd(img, xy, band, approx, group):
     H, W, C = img.shape
     N = xy.shape[0]
-    ints, flts, _ = _precompute(jax.lax.stop_gradient(xy), H, W, band)
+    ints, flts, _ = _precompute(jax.lax.stop_gradient(xy), H, W, band, group)
     Cp = _round_up(C, 8)
     img_cm = jnp.moveaxis(
         img.astype(jnp.bfloat16 if approx else jnp.float32), -1, 0)
     img_cm = jnp.pad(img_cm, ((0, Cp - C), (0, 0), (0, 0)))
-    out = _gather_pallas(img_cm, ints, flts, band, approx)  # [NC, Cp, 128]
+    out = _gather_pallas(img_cm, ints, flts, band, approx)  # [NB, Cp, G·128]
     out = jnp.moveaxis(out, 1, 2).reshape(-1, Cp)[:N, :C]
     return out, (img, xy)
 
 
-def _core_bwd(band, approx, res, g):
+def _core_bwd(band, approx, group, res, g):
     # images are batch inputs — this path is normally DCE'd; delegate to the
     # exact XLA formulation's autodiff when something does want d/d img
     img, xy = res
@@ -174,16 +182,20 @@ def _core_bwd(band, approx, res, g):
     return vjp(g)[0], None
 
 
-_core.defvjp(lambda i, x, b, a: _core_fwd(i, x, b, a), _core_bwd)
+_core.defvjp(lambda i, x, b, a, g: _core_fwd(i, x, b, a, g), _core_bwd)
 
 
-def gather_colors_banded(img, xy, band: int = 16, approx: bool = False):
+def gather_colors_banded(img, xy, band: int = 16, approx: bool = False,
+                         group: int = 1):
     """Bilinear border-mode image sampling at pixel coords — banded fast path.
 
     Exactly ``grid_sample_2d(img, xy_normalized, "border")`` when each chunk of
-    128 consecutive points spans < ``band`` image rows (true for eval's
-    contiguous-pixel batches); verified at runtime with an exact XLA fallback
-    (taken for training's random-pixel batches).
+    ``group``*128 consecutive points spans < ``band`` image rows (true for
+    eval's contiguous-pixel batches); verified at runtime with an exact XLA
+    fallback (taken for training's random-pixel batches). ``group`` > 1 packs
+    that many 128-pt groups into one grid step sharing a band — the G=1 kernel
+    was per-step issue-bound at eval (~15% MXU); G=4 is FLOP-neutral at
+    band=16 with 4x fewer steps (BENCH_NOTES round 5).
 
     Args: img [H, W, C]; xy [N, 2] pixel coords. Returns [N, C] f32.
 
@@ -197,11 +209,11 @@ def gather_colors_banded(img, xy, band: int = 16, approx: bool = False):
     H, W, C = img.shape
     xy = jax.lax.stop_gradient(xy)
     band = min(_round_up(max(band, 1), 8), H)
-    *_pre, ok = _precompute(jax.lax.stop_gradient(xy), H, W, band)
+    *_pre, ok = _precompute(jax.lax.stop_gradient(xy), H, W, band, group)
 
     def kern_path(operands):
         img, xy = operands
-        return _core(img, xy, band, approx)
+        return _core(img, xy, band, approx, group)
 
     def xla_path(operands):
         img, xy = operands

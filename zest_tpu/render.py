@@ -137,7 +137,8 @@ def sample_volume_features(volume, ndc):
 
 def build_color_features(pts_world, images, w2cs, intrinsics,
                          with_mask: bool = True, approx: bool = False,
-                         order: str = "s_major", band: int = 16):
+                         order: str = "s_major", band: int = 16,
+                         group: int = 1):
     """Per-source-view RGB (+ in-bounds mask) sampled at ray points.
 
     Mirrors utils.py:461-505 (build_color_volume): project points into each source view
@@ -173,11 +174,13 @@ def build_color_features(pts_world, images, w2cs, intrinsics,
         xy_rs = ndc[..., :2] * inv_scale
         if order == "r_major":
             xy = xy_rs.reshape(-1, 2)
-            data = gather_colors_banded(img, xy, band=band, approx=approx)
+            data = gather_colors_banded(img, xy, band=band, approx=approx,
+                                        group=group)
             data = data.reshape(R, S, 3)
         else:
             xy = xy_rs.transpose(1, 0, 2).reshape(-1, 2)
-            data = gather_colors_banded(img, xy, band=band, approx=approx)
+            data = gather_colors_banded(img, xy, band=band, approx=approx,
+                                        group=group)
             data = data.reshape(S, R, 3).transpose(1, 0, 2)
         if with_mask:
             inside = (grid > -1.0) & (grid < 1.0)

@@ -229,6 +229,10 @@ class ZestSystem:
         # layout (see render.build_color_features)
         col_order = "r_major" if train else "s_major"
         col_band = cfg.color_band_train if train else 16
+        # eval groups G 128-pt chunks per gather grid step (shared band; the
+        # Pallas kernel was per-step issue-bound at G=1, BENCH_NOTES round 5)
+        from . import flags as _gflags
+        col_group = 1 if train else max(1, _gflags.EVAL_COLOR_GROUP)
 
         def sample_vol(vol, ndc, banded: bool, paired=None):
             """Volume lookup: Pallas z-banded kernel for unwarped sample sites;
@@ -295,7 +299,8 @@ class ZestSystem:
                                                       batch["intrinsics"][:-1],
                                                       approx=approx_gathers,
                                                       order=col_order,
-                                                      band=col_band)
+                                                      band=col_band,
+                                                      group=col_group)
                     return jnp.concatenate([vol, col], -1)
 
         dynamic_vol_fn = dynamic_col_fn = None
@@ -324,7 +329,8 @@ class ZestSystem:
                                                    batch["nb_intr"],
                                                    approx=approx_gathers,
                                                    order=col_order,
-                                                   band=col_band)
+                                                   band=col_band,
+                                                   group=col_group)
 
         # multires 0 == identity embedding (positional_encoding early-returns),
         # honoring --pts_embedder/--dir_embedder=False without a shape mismatch
